@@ -1,0 +1,248 @@
+"""Slow, loop-based NumPy oracles for conformance testing.
+
+This is the framework's analog of the reference's RTL-testbench golden model
+(reference ref/test_minn_preamble_detector.py:50-147): independently written
+per-sample implementations of each detector's math, in float64, used only by
+the test suite to validate the vectorized f32 TPU kernels.  They intentionally
+follow the *published equations* (docs/aa_preamble_sync_design.md sections 5-9
+and the detector docstrings), not the reference source structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _branches(rx) -> np.ndarray:
+    rx = np.asarray(rx, dtype=np.complex128)
+    return rx[None, :] if rx.ndim == 1 else rx
+
+
+def golden_sc(rx, n_fft: int):
+    """Per-offset S&C metric: P(d)=<x[d:d+H], x[d+H:d+N]>, R(d)=||x[d+H:d+N]||^2."""
+    x = _branches(rx)
+    H = n_fft // 2
+    L = x.shape[1]
+    out = L - n_fft + 1
+    P = np.zeros(out, complex)
+    R = np.zeros(out)
+    for d in range(out):
+        a = x[:, d : d + H]
+        b = x[:, d + H : d + n_fft]
+        P[d] = (a * b.conj()).sum()
+        R[d] = (np.abs(b) ** 2).sum()
+    M = np.abs(P) ** 2 / np.maximum(R, 1e-12) ** 2
+    return M, P, R
+
+
+def golden_minn(rx, n_fft: int):
+    """Per-offset Minn metric over quarter pairs (q0,q1) and (q2,q3)."""
+    x = _branches(rx)
+    Q = n_fft // 4
+    L = x.shape[1]
+    out = L - n_fft + 1
+    P = np.zeros(out, complex)
+    R = np.zeros(out)
+    for d in range(out):
+        q = [x[:, d + i * Q : d + (i + 1) * Q] for i in range(4)]
+        P[d] = (q[0] * q[1].conj()).sum() + (q[2] * q[3].conj()).sum()
+        R[d] = sum((np.abs(q[i]) ** 2).sum() for i in (1, 2, 3))
+    M = np.clip(P.real, 0, None) ** 2 / np.maximum(R, 1e-12) ** 2
+    return M, P, R
+
+
+def golden_sc_generic(rx, symbol_len: int):
+    """Generic S&C with both-halves energy normalization."""
+    x = _branches(rx)
+    H = symbol_len // 2
+    L = x.shape[1]
+    out = L - symbol_len + 1
+    P = np.zeros(out, complex)
+    R = np.zeros(out)
+    for d in range(out):
+        a = x[:, d : d + H]
+        b = x[:, d + H : d + symbol_len]
+        P[d] = (a * b.conj()).sum()
+        R[d] = (np.abs(a) ** 2).sum() + (np.abs(b) ** 2).sum()
+    M = np.abs(P) ** 2 / np.maximum(R, 1e-12) ** 2
+    return M, P, R
+
+
+def golden_park(rx, n_fft: int):
+    """Centered conjugate-symmetric correlation P(d) = sum_k x[d-k] x[d+k]."""
+    x = _branches(rx)
+    H = n_fft // 2
+    L = x.shape[1]
+    ds = np.arange(H, L - H)
+    P = np.zeros(ds.size, complex)
+    E = np.zeros(ds.size)
+    for j, d in enumerate(ds):
+        for b in range(x.shape[0]):
+            fwd = x[b, d : d + H]
+            bwd = x[b, d - np.arange(H)]
+            P[j] += (bwd * fwd).sum()
+            E[j] += (np.abs(fwd) ** 2).sum()
+    M = np.abs(P) ** 2 / np.maximum(E, 1e-12) ** 2
+    return ds, M, P, E
+
+
+def golden_minn_rtl_taps(x: np.ndarray, Q: int) -> dict[str, np.ndarray]:
+    """Stateful per-sample Minn-RTL antenna path: delay lines and running
+    sums with explicit fill counters (spec: ref/minn_antenna_path.sv)."""
+    n = x.size
+    out = {k: np.zeros(n) for k in ("cr", "cp", "er", "ep", "ep2")}
+    dline_i = np.zeros(Q)
+    dline_q = np.zeros(Q)
+    ptr = fill = 0
+    corr_buf = np.zeros(Q)
+    corr_acc = 0.0
+    en_buf = np.zeros(Q)
+    en_acc = 0.0
+    cbuf_ptr = 0
+    cfill = 0
+    # simple FIFO delays for the taps
+    corr_hist: list[float] = []
+    en_hist: list[float] = []
+    for idx in range(n):
+        i_in, q_in = x[idx].real, x[idx].imag
+        if fill < Q:
+            di, dq = 0.0, 0.0
+        else:
+            di, dq = dline_i[ptr], dline_q[ptr]
+        dline_i[ptr], dline_q[ptr] = i_in, q_in
+        ptr = (ptr + 1) % Q
+        fill = min(fill + 1, Q)
+
+        qp = di * i_in + dq * q_in
+        pw = i_in * i_in + q_in * q_in
+
+        old_c = corr_buf[cbuf_ptr] if cfill >= Q else 0.0
+        old_e = en_buf[cbuf_ptr] if cfill >= Q else 0.0
+        corr_acc += qp - old_c
+        en_acc += pw - old_e
+        corr_buf[cbuf_ptr] = qp
+        en_buf[cbuf_ptr] = pw
+        cbuf_ptr = (cbuf_ptr + 1) % Q
+        cfill = min(cfill + 1, Q)
+
+        corr_hist.append(corr_acc)
+        en_hist.append(en_acc)
+        out["cr"][idx] = corr_acc
+        out["cp"][idx] = corr_hist[idx - Q] if idx >= Q else 0.0
+        out["er"][idx] = en_acc
+        out["ep"][idx] = en_hist[idx - Q] if idx >= Q else 0.0
+        out["ep2"][idx] = en_hist[idx - 2 * Q] if idx >= 2 * Q else 0.0
+    return out
+
+
+def golden_minn_rtl_metric(
+    rx, Q: int, smooth_shift: int, threshold_value: int, frac_bits: int
+):
+    """Branch-combined fixed-point metric + smoothing + threshold flags."""
+    x = _branches(rx)
+    n = x.shape[1]
+    corr_total = np.zeros(n)
+    energy_total = np.zeros(n)
+    for b in range(x.shape[0]):
+        t = golden_minn_rtl_taps(x[b], Q)
+        corr_total += t["cr"] + t["cp"]
+        energy_total += t["er"] + t["ep"] + t["ep2"]
+    corr_pos = np.maximum(corr_total, 0.0)
+    valid_from = 3 * Q - 1
+    smooth = np.zeros(n)
+    s = 0.0
+    for idx in range(n):
+        if idx >= valid_from:
+            if smooth_shift == 0:
+                s = corr_pos[idx]
+            else:
+                s += (corr_pos[idx] - s) / (1 << smooth_shift)
+        smooth[idx] = s
+    corr_scaled = smooth * (1 << frac_bits)
+    energy_scaled = energy_total * float(threshold_value)
+    valid = np.arange(n) >= valid_from
+    above = valid & (corr_scaled >= energy_scaled)
+    return {
+        "corr_total": corr_total,
+        "corr_positive": corr_pos,
+        "smooth": smooth,
+        "energy_total": energy_total,
+        "above": above,
+        "valid": valid,
+    }
+
+
+def golden_aa(rx, L: int):
+    """Per-sample [A][A] detector state: P (lag-L running correlation),
+    R (current-window energy), M, validity."""
+    x = _branches(rx)
+    A, n = x.shape
+    P = np.zeros(n, complex)
+    R = np.zeros(n)
+    M = np.zeros(n)
+    valid = np.zeros(n, bool)
+    for a_i in range(A):
+        xb = x[a_i]
+        prod = np.zeros(n, complex)
+        prod[L:] = xb[L:] * np.conj(xb[:-L])
+        acc = 0.0 + 0.0j
+        eacc = 0.0
+        for nn in range(n):
+            acc += prod[nn] - (prod[nn - L] if nn >= L else 0.0)
+            eacc += abs(xb[nn]) ** 2 - (abs(xb[nn - L]) ** 2 if nn >= L else 0.0)
+            P[nn] += acc
+            R[nn] += eacc
+    valid[L:] = True
+    floor = 1e-6 * L
+    ok = valid & (R > floor)
+    M[ok] = np.minimum(np.abs(P[ok]) ** 2 / R[ok] ** 2, 1.0)
+    return P, R, M, valid
+
+
+def golden_gate_events(above, track, hysteresis: int, tie: str, emit_unclosed: bool,
+                       valid_from: int = 0):
+    """Sequential gate/hysteresis/peak FSM oracle shared by all variants."""
+    above = np.asarray(above, bool)
+    track = np.asarray(track, float)
+    n = above.size
+    events = []
+    open_ = False
+    start = peak_i = 0
+    peak_v = -np.inf
+    low = 0
+    h = max(int(hysteresis), 1)
+    for i in range(n):
+        if i < valid_from:
+            continue
+        if not open_:
+            if above[i]:
+                open_, start, peak_i, peak_v, low = True, i, i, track[i], 0
+        else:
+            better = track[i] >= peak_v if tie == "last" else track[i] > peak_v
+            if better:
+                peak_v, peak_i = track[i], i
+            if above[i]:
+                low = 0
+            else:
+                low += 1
+                if low >= h:
+                    events.append((start, i, peak_i, peak_v, True))
+                    open_ = False
+    if open_ and emit_unclosed:
+        events.append((start, n - 1, peak_i, peak_v, False))
+    return events
+
+
+def golden_zc_streaming(corr_mag, window: int, thresh_value: int, frac_bits: int,
+                        min_corr: float):
+    """CFAR threshold state of the streaming ZC detector."""
+    c = np.asarray(corr_mag, float)
+    n = c.size
+    local = np.zeros(n)
+    acc = 0.0
+    for i in range(n):
+        acc += c[i] - (c[i - window] if i >= window else 0.0)
+        local[i] = acc
+    valid = np.arange(n) >= window
+    above = valid & (c * (1 << frac_bits) >= local * thresh_value) & (c >= min_corr)
+    return local, valid, above

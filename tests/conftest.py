@@ -1,0 +1,32 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh so
+sharding tests exercise real collectives without TPU hardware.
+
+Note: this image's sitecustomize imports jax and registers the axon TPU
+backend at interpreter start, overriding JAX_PLATFORMS.  We therefore force
+the platform through jax.config here (set OFDM_SYNC_TEST_TPU=1 to run the
+suite against the real chip instead).
+"""
+
+import os
+
+_USE_TPU = os.environ.get("OFDM_SYNC_TEST_TPU", "0") == "1"
+
+if not _USE_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,169 @@
+"""Vectorized f32 metrics vs. float64 loop oracles (conformance.golden)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ofdm_sync_tpu.ops import metrics as M
+from ofdm_sync_tpu.conformance import golden as G
+
+N = 256  # small FFT size keeps oracles fast; math is size-generic
+
+
+def _rx(rng, branches=2, L=1200):
+    x = rng.standard_normal((branches, L)) + 1j * rng.standard_normal((branches, L))
+    return x.astype(np.complex128)
+
+
+def _with_preamble(rng, preamble, branches=2, pad=300, snr=10.0):
+    L = pad + preamble.size + 600
+    x = np.zeros((branches, L), complex)
+    x[:, pad : pad + preamble.size] = preamble
+    noise_std = np.sqrt(10 ** (-snr / 10) / 2)
+    x += noise_std * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+    return x
+
+
+def test_sc_metric_matches_oracle(rng):
+    x = _rx(rng)
+    got_M, got_P, got_R = M.sc_metric(jnp.asarray(x, jnp.complex64), N)
+    want_M, want_P, want_R = G.golden_sc(x, N)
+    np.testing.assert_allclose(np.asarray(got_P), want_P, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_R), want_R, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_M), want_M, rtol=5e-3, atol=1e-5)
+
+
+def test_minn_metric_matches_oracle(rng):
+    x = _rx(rng)
+    got_M, got_P, got_R = M.minn_metric(jnp.asarray(x, jnp.complex64), N)
+    want_M, want_P, want_R = G.golden_minn(x, N)
+    np.testing.assert_allclose(np.asarray(got_P), want_P, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_R), want_R, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_M), want_M, rtol=5e-3, atol=1e-5)
+
+
+def test_sc_generic_metric_matches_oracle(rng):
+    x = _rx(rng, L=900)
+    got_M, got_P, got_R = M.sc_generic_metric(jnp.asarray(x, jnp.complex64), 128)
+    want_M, want_P, want_R = G.golden_sc_generic(x, 128)
+    np.testing.assert_allclose(np.asarray(got_P), want_P, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_M), want_M, rtol=5e-3, atol=1e-5)
+
+
+def test_park_metric_matches_oracle(rng):
+    x = _rx(rng, L=800)
+    ds, got_M, got_P, got_E = M.park_metric(jnp.asarray(x, jnp.complex64), N)
+    want_ds, want_M, want_P, want_E = G.golden_park(x, N)
+    np.testing.assert_array_equal(np.asarray(ds), want_ds)
+    np.testing.assert_allclose(np.asarray(got_P), want_P, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_E), want_E, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_M), want_M, rtol=5e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("branches", [1, 2])
+def test_minn_rtl_metric_matches_oracle(rng, branches):
+    Q = 64
+    x = _rx(rng, branches=branches, L=1000)
+    got = M.minn_rtl_metric(
+        jnp.asarray(x, jnp.complex64),
+        smooth_shift=3,
+        threshold_value=3276,
+        threshold_frac_bits=15,
+        quarter_len=Q,
+    )
+    want = G.golden_minn_rtl_metric(x, Q, 3, 3276, 15)
+    np.testing.assert_allclose(
+        np.asarray(got.corr_total), want["corr_total"], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.energy_total), want["energy_total"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.smooth_metric), want["smooth"], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_array_equal(np.asarray(got.metric_valid), want["valid"])
+    # threshold flags may flip only at near-exact equality crossings
+    assert np.mean(np.asarray(got.above_threshold) != want["above"]) < 0.01
+
+
+def test_aa_metric_matches_oracle(rng):
+    L = 64
+    x = _rx(rng, branches=2, L=700)
+    got = M.aa_metric(jnp.asarray(x, jnp.complex64), L)
+    want_P, want_R, want_M, want_valid = G.golden_aa(x, L)
+    np.testing.assert_allclose(np.asarray(got.P), want_P, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.R), want_R, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.M), want_M, rtol=5e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.valid), want_valid)
+
+
+def test_sc_detects_its_preamble(rng):
+    """End-to-end sanity: the S&C metric plateaus on an [A][A] preamble."""
+    from ofdm_sync_tpu.ops.waveforms import build_sc_preamble
+    from ofdm_sync_tpu.params import SystemParams
+
+    sys = SystemParams(n_fft=N, num_active=180, cp_len=64, tx_pre_pad=0)
+    pre = build_sc_preamble(rng, sys, include_cp=True)
+    x = _with_preamble(rng, pre, snr=20.0)
+    m, _, _ = M.sc_metric(jnp.asarray(x, jnp.complex64), N)
+    m = np.asarray(m)
+    # plateau spans [pad, pad+cp]; peak region must be inside
+    peak = int(np.argmax(m))
+    assert 300 - 8 <= peak <= 300 + 64 + 8
+    assert m[peak] > 0.5
+
+
+def test_minn_detects_its_preamble(rng):
+    from ofdm_sync_tpu.ops.waveforms import (
+        build_minn_preamble,
+        build_random_qpsk_symbol,
+        assemble_frame,
+    )
+    from ofdm_sync_tpu.params import SystemParams
+
+    sys = SystemParams(n_fft=N, num_active=180, cp_len=64, tx_pre_pad=0)
+    pre = build_minn_preamble(rng, sys, include_cp=True)
+    pilot, _ = build_random_qpsk_symbol(rng, sys)
+    data, _ = build_random_qpsk_symbol(rng, sys)
+    frame = assemble_frame(pre, pilot, data, pre_pad=300)
+    x = _with_preamble(rng, frame[300:], snr=20.0)
+    m, _, _ = M.minn_metric(jnp.asarray(x, jnp.complex64), N)
+    peak, gate, ms = M.find_minn_peak_standard(m, smooth_win=16, gate_threshold=0.5)
+    # Minn peak aligns with symbol start = pad + cp (smoothing lags a little)
+    assert abs(int(peak) - (300 + 64)) <= 16
+
+
+def test_zc_matched_filter_peak(rng):
+    from ofdm_sync_tpu.ops.waveforms import build_pss_symbol
+    from ofdm_sync_tpu.params import SystemParams
+
+    sys = SystemParams(n_fft=N, num_active=180, cp_len=64, tx_pre_pad=0)
+    ref = build_pss_symbol(sys, include_cp=False)
+    x = _with_preamble(rng, ref, snr=10.0)
+    corr, mag = M.zc_normalized_correlation(jnp.asarray(x, jnp.complex64), jnp.asarray(ref, jnp.complex64))
+    peak = int(np.argmax(np.asarray(mag)))
+    # matched-filter peak lands at start + len(ref) - 1  (reference zc.py:130)
+    assert abs(peak - (300 + ref.size - 1)) <= 2
+
+
+def test_zc_freq_metric_peak(rng):
+    from ofdm_sync_tpu.ops.waveforms import (
+        build_pss_symbol,
+        centered_subcarrier_indices,
+        generate_zadoff_chu,
+    )
+    from ofdm_sync_tpu.params import SystemParams
+
+    sys = SystemParams(n_fft=N, num_active=180, cp_len=64, tx_pre_pad=0)
+    sym = build_pss_symbol(sys, include_cp=True)
+    x = _with_preamble(rng, sym, snr=15.0)
+    metric = M.zc_freq_metric(
+        jnp.asarray(x, jnp.complex64),
+        jnp.asarray(generate_zadoff_chu(25, 62)),
+        centered_subcarrier_indices(62),
+        n_fft=N,
+        cp_len=64,
+        chunk=128,
+    )
+    peak = int(np.argmax(np.asarray(metric)))
+    assert abs(peak - 300) <= 4
