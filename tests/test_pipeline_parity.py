@@ -1,0 +1,195 @@
+"""End-to-end pipeline parity against the reference implementation.
+
+Expected values below are the EXACT printed outputs of the reference scripts
+(seed 0, recorded 2026-08-16 from /root/reference):
+  * cir1 condition: sc.py / minn.py / minn_rtl.py / zc.py / zc_freq.py /
+    zc_v2.py / combined_sc_min.py / park.py run_simulation('cir1', ...)
+  * AWGN condition: same with channel_name=None
+
+Our stimulus generation replays the reference's RNG call order bit-for-bit,
+so integer outputs (indices, events, gate windows) must match exactly and
+float outputs to f32 precision.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.parity
+
+
+def test_sc_cir1():
+    from ofdm_sync_tpu.pipelines import sc
+
+    r = sc.run_simulation("cir1", None)
+    assert r["plateau_end"] == 2063
+    assert r["coarse_start"] == 2047
+    assert r["timing_error"] == 540
+    assert abs(r["cfo_est_hz"] - 933.82) < 0.05
+    assert abs(100 * r["evm_rms"] - 73.12) < 0.15
+
+
+def test_sc_awgn():
+    from ofdm_sync_tpu.pipelines import sc
+
+    r = sc.run_simulation(None, None)
+    assert r["plateau_end"] == 1861
+    assert r["coarse_start"] == 1845
+    assert abs(r["cfo_est_hz"] - 1027.74) < 0.05
+    assert abs(100 * r["evm_rms"] - 32.96) < 0.15
+
+
+def test_minn_cir1():
+    from ofdm_sync_tpu.pipelines import minn
+
+    r = minn.run_simulation("cir1", None)
+    assert r["peak"] == 2065
+    assert r["timing_error"] == 116
+    assert abs(r["cfo_est_hz"] - 1111.81) < 0.05
+    assert abs(100 * r["evm_rms"] - 96.45) < 0.2
+
+
+def test_minn_awgn():
+    from ofdm_sync_tpu.pipelines import minn
+
+    r = minn.run_simulation(None, None)
+    assert r["peak"] == 1856
+    assert r["timing_error"] == 7
+    assert abs(r["cfo_est_hz"] - 833.24) < 0.05
+
+
+def test_minn_rtl_cir1():
+    from ofdm_sync_tpu.pipelines import minn_rtl
+
+    r = minn_rtl.run_simulation("cir1", None)
+    assert r["events"] == [(4593, 4593), (19951, 19951)]
+    assert r["per_event_errors"] == [84, 82]
+    assert abs(r["cfo_est_hz"] - 1069.26) < 0.05
+
+
+def test_minn_rtl_awgn():
+    from ofdm_sync_tpu.pipelines import minn_rtl
+
+    r = minn_rtl.run_simulation(None, None)
+    assert r["events"] == [(4408, 4408), (19768, 19768)]
+    assert r["per_event_errors"] == [-1, -1]
+    assert abs(r["cfo_est_hz"] - 967.90) < 0.05
+
+
+def test_zc_cir1():
+    from ofdm_sync_tpu.pipelines import zc
+
+    r = zc.run_simulation("cir1", None)
+    assert r["peak_index"] == 3548
+    assert r["detected_start"] == 1501
+    assert abs(r["cfo_est_hz"] - 1040.57) < 0.05
+    assert abs(100 * r["evm_rms"] - 67.88) < 0.15
+
+
+def test_zc_awgn():
+    from ofdm_sync_tpu.pipelines import zc
+
+    r = zc.run_simulation(None, None)
+    assert r["peak_index"] == 3384
+    assert r["timing_error"] == 0
+    assert abs(r["cfo_est_hz"] - 993.62) < 0.05
+    assert abs(100 * r["evm_rms"] - 30.91) < 0.15
+
+
+def test_zc_freq_cir1():
+    from ofdm_sync_tpu.pipelines import zc_freq
+
+    r = zc_freq.run_simulation("cir1", None)
+    assert r["detected_cp_start"] == 1501
+    assert abs(r["cfo_est_hz"] - 77.71) < 0.1
+    assert abs(100 * r["evm_rms"] - 70.47) < 0.2
+
+
+def test_zc_v2_cir1():
+    from ofdm_sync_tpu.pipelines import zc_v2
+
+    r = zc_v2.run_simulation("cir1", None)
+    assert r["num_events"] == 3
+    assert r["peak_index"] == 3549
+    assert r["detected_start"] == 1502
+    assert abs(r["cfo_est_hz"] - 1047.41) < 0.05
+    assert abs(100 * r["evm_rms"] - 75.29) < 0.15
+
+
+def test_zc_v2_awgn():
+    from ofdm_sync_tpu.pipelines import zc_v2
+
+    r = zc_v2.run_simulation(None, None)
+    assert r["num_events"] == 3
+    assert r["peak_index"] == 3384
+    assert r["detected_start"] == 1337
+    assert r["timing_error"] == 0
+
+
+def test_combined_cir1():
+    from ofdm_sync_tpu.pipelines import combined_sc_minn
+
+    r = combined_sc_minn.run_simulation("cir1", None)
+    assert r["peak"] == 2064
+    assert r["timing_error"] == 115
+    assert abs(r["cfo_est_hz"] - 1082.82) < 0.05
+    assert abs(100 * r["evm_rms"] - 66.73) < 0.15
+
+
+def test_park_cir1():
+    from ofdm_sync_tpu.pipelines import park
+
+    # the reference itself mis-locks on cir1 (degenerate case); we reproduce it
+    r = park.run_simulation("cir1", None)
+    assert r["det_center"] == 8619
+    assert r["det_symbol_start"] == 7595
+    assert abs(r["cfo_est_hz"] - 1883.81) < 0.05
+
+
+def test_park_awgn():
+    from ofdm_sync_tpu.pipelines import park
+
+    r = park.run_simulation(None, None)
+    assert r["det_center"] == 2616
+    assert r["det_symbol_start"] == 1592
+    assert r["timing_error"] == -1
+    assert abs(r["cfo_est_hz"] - 980.18) < 0.05
+    assert abs(100 * r["evm_rms"] - 30.96) < 0.15
+
+
+def test_aa_single_awgn():
+    """AA single test at favourable settings: exact timing + sane CFO
+    (reference sync_aa.py design doc: +-1 sample AWGN, CFO ~Hz)."""
+    from ofdm_sync_tpu.pipelines.aa import run_single_test
+
+    r = run_single_test(10.0, None, 2.0, 1024, cfo_hz=500.0, seed=42)
+    assert r.detected
+    assert abs(r.timing_error) <= 1
+    assert abs(r.cfo_error_hz) < 10.0
+
+
+def test_aa_single_cir1():
+    from ofdm_sync_tpu.pipelines.aa import run_single_test
+
+    r = run_single_test(10.0, "cir1", 1.0, 1024, cfo_hz=500.0, seed=42)
+    assert r.detected
+    # multipath: group delay absorbed by CP (docs: +77..+94 samples)
+    assert 0 <= r.timing_error <= 120
+
+
+def test_aa_batched_grid_matches_detection_profile():
+    """Batched device grid reproduces the documented detection profile:
+    100% detection at SNR >= 0 dB in AWGN, miss at -5 dB
+    (reference docs/aa_preamble_sync_design.md:841-848)."""
+    from ofdm_sync_tpu.pipelines.aa import run_grid_test_batched
+
+    out = run_grid_test_batched(
+        1024, None, snr_values=(-5.0, 0.0, 5.0, 10.0), full_scale_ratios=(1.0, 2.0)
+    )
+    det = out["detected"]
+    assert det.shape == (4, 2)
+    # SNR >= 0 dB rows all detect with tight timing
+    assert det[1:].all()
+    assert np.all(np.abs(out["timing_error"][1:]) <= 2)
+    # CFO capture range is +-15 kHz; single-trial error at SNR>=0 stays within
+    # a few hundred Hz (estimator phase-noise std is tens of Hz at these SNRs)
+    assert np.all(np.abs(out["cfo_error"][1:]) < 250.0)
