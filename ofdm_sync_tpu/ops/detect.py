@@ -37,6 +37,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ofdm_sync_tpu.kernels import blocked
+
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -84,47 +86,44 @@ def extract_gate_events(
 
     # Running index of the most recent above sample (-1 if none yet).
     above_idx = jnp.where(above, idx, jnp.int32(-1))
-    last_above = jax.lax.cummax(above_idx)
+    last_above = blocked.cummax(above_idx)
     below_run = idx - last_above  # 0 at above samples
 
     # A new gate opens at an above sample if no gate is open: either no
     # previous above exists, or the previous gate already closed (gap > h).
     prev_above = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_above[:-1]])
     new_cluster = above & ((prev_above < 0) | (idx - prev_above > h))
-    cluster_id = jnp.cumsum(new_cluster.astype(jnp.int32))  # 1-based
+    cluster_id = blocked.cumsum(new_cluster.astype(jnp.int32))  # 1-based
 
     # Gate is open from its first above until the h-th consecutive below
     # (that closing sample is still peak-tracked by all reference variants).
     in_gate = (last_above >= 0) & (below_run <= h) & (cluster_id >= 1)
 
-    seg = jnp.where(in_gate & (cluster_id - 1 < max_events), cluster_id - 1, max_events)
-    nseg = max_events + 1
-
-    def smax(vals, fill):
-        return jax.ops.segment_max(
-            vals, seg, num_segments=nseg, indices_are_sorted=True
-        )[:max_events]
-
-    def smin(vals):
-        return jax.ops.segment_min(
-            vals, seg, num_segments=nseg, indices_are_sorted=True
-        )[:max_events]
-
-    gate_start = smin(idx)
-    track_masked = jnp.where(in_gate, track, jnp.full((), -jnp.inf, track.dtype))
-    peak_val = smax(track_masked, None)
-
-    is_peak = in_gate & (track == peak_val[jnp.minimum(seg, max_events - 1)]) & (
-        seg < max_events
-    )
-    if tie == "last":
-        peak_idx = smax(jnp.where(is_peak, idx, jnp.int32(-1)), None)
-    elif tie == "first":
-        peak_idx = smin(jnp.where(is_peak, idx, jnp.int32(_I32_MAX)))
-    else:
+    # Per-gate reductions, unrolled over the (small, static) event capacity.
+    # A one-hot masked reduction per slot beats scatter-based segment ops by
+    # >10x on the TPU backend: each slot is a fused compare + reduce sweep,
+    # and XLA fuses all slots into few passes over the arrays.
+    if tie not in ("first", "last"):
         raise ValueError("tie must be 'first' or 'last'")
-
-    last_above_seg = smax(jnp.where(above, idx, jnp.int32(-1)), None)
+    neg_inf = jnp.full((), -jnp.inf, track.dtype)
+    gate_start_l, peak_val_l, peak_idx_l, last_above_l = [], [], [], []
+    for c in range(1, max_events + 1):
+        m = in_gate & (cluster_id == c)
+        gate_start_l.append(jnp.min(jnp.where(m, idx, jnp.int32(_I32_MAX))))
+        pv = jnp.max(jnp.where(m, track, neg_inf))
+        peak_val_l.append(pv)
+        is_peak = m & (track == pv)
+        if tie == "last":
+            peak_idx_l.append(jnp.max(jnp.where(is_peak, idx, jnp.int32(-1))))
+        else:
+            peak_idx_l.append(jnp.min(jnp.where(is_peak, idx, jnp.int32(_I32_MAX))))
+        last_above_l.append(
+            jnp.max(jnp.where(above & (cluster_id == c), idx, jnp.int32(-1)))
+        )
+    gate_start = jnp.stack(gate_start_l)
+    peak_val = jnp.stack(peak_val_l)
+    peak_idx = jnp.stack(peak_idx_l)
+    last_above_seg = jnp.stack(last_above_l)
     close_raw = last_above_seg + h
     closed = close_raw <= n - 1
 
@@ -156,7 +155,7 @@ def gate_open_mask(above: jax.Array, hysteresis: int, valid_from: int = 0) -> ja
     h = max(int(hysteresis), 1)
     idx = jnp.arange(n, dtype=jnp.int32)
     above = above & (idx >= valid_from)
-    last_above = jax.lax.cummax(jnp.where(above, idx, jnp.int32(-1)))
+    last_above = blocked.cummax(jnp.where(above, idx, jnp.int32(-1)))
     return (last_above >= 0) & (idx - last_above <= h)
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ofdm_sync_tpu.kernels import blocked
+
 
 def sliding_sum_valid(x: jax.Array, window: int) -> jax.Array:
     """``y[d] = sum_{k=d}^{d+window-1} x[k]`` ("valid" mode).
@@ -32,7 +34,7 @@ def sliding_sum_valid(x: jax.Array, window: int) -> jax.Array:
     """
     if window <= 0:
         raise ValueError("window must be positive")
-    cs = jnp.cumsum(x, axis=-1)
+    cs = blocked.cumsum(x)
     lead = cs[..., window - 1 : window]  # y[0] = cs[window-1]
     rest = cs[..., window:] - cs[..., :-window]
     return jnp.concatenate([lead, rest], axis=-1)
@@ -48,7 +50,7 @@ def running_sum_stream(x: jax.Array, window: int) -> jax.Array:
     """
     if window <= 0:
         raise ValueError("window must be positive")
-    cs = jnp.cumsum(x, axis=-1)
+    cs = blocked.cumsum(x)
     shifted = shift_right(cs, window)
     return cs - shifted
 
@@ -64,9 +66,9 @@ def shift_right(x: jax.Array, delay: int, fill=0) -> jax.Array:
         return x
     if delay < 0:
         raise ValueError("delay must be non-negative")
-    pad_widths = [(0, 0)] * (x.ndim - 1) + [(delay, 0)]
-    padded = jnp.pad(x, pad_widths, constant_values=fill)
-    return padded[..., : x.shape[-1]]
+    # concatenate instead of jnp.pad: the axon TPU backend lacks complex pad
+    prefix = jnp.full(x.shape[:-1] + (delay,), fill, dtype=x.dtype)
+    return jnp.concatenate([prefix, x[..., : x.shape[-1] - delay]], axis=-1)
 
 
 def delayed_product(x: jax.Array, delay: int) -> jax.Array:
@@ -122,17 +124,9 @@ def exp_smooth_shift(
 def linear_recurrence(a: jax.Array, b: jax.Array) -> jax.Array:
     """Solve ``s[n] = a[n] * s[n-1] + b[n]`` with ``s[-1] = 0`` in parallel.
 
-    Uses `jax.lax.associative_scan` (log depth), the idiomatic XLA form of a
-    sequential IIR filter.
-    """
-
-    def combine(left, right):
-        a_l, b_l = left
-        a_r, b_r = right
-        return a_l * a_r, b_l * a_r + b_r
-
-    _, s = jax.lax.associative_scan(combine, (a, b), axis=-1)
-    return s
+    Log-depth associative scan -- the idiomatic XLA form of a sequential IIR
+    filter -- two-level blocked for long axes (see kernels.blocked)."""
+    return blocked.linear_recurrence(a, b)
 
 
 def frame_signal(x: jax.Array, num_frames: int, frame_len: int, hop: int = 1,

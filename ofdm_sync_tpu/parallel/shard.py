@@ -1,0 +1,388 @@
+"""Multi-chip sharding: mesh construction, halo exchange, blocked scans.
+
+The reference is single-process NumPy (SURVEY section 2.5); this module is
+the TPU-native scaling layer it lacks.  Two parallel axes map to the math:
+
+  * ``data``: independent streams / sweep configs -- embarrassingly parallel
+    (the reference's serial grid loops, reference sync_aa.py:829-899).
+  * ``seq``: the IQ time axis -- sequence parallelism via overlap-save.
+    Every detector metric is a function of a bounded window, so each shard
+    needs only a halo of neighbor samples (``ppermute`` over ICI) to compute
+    its metric chunk EXACTLY; the only unbounded-history op is the RTL
+    smoothing IIR, handled with an exact blocked linear-recurrence scan
+    (per-shard scan + one tiny cross-shard carry fix-up).
+
+Everything here is exact: sharded output == single-device output bit-for-bit
+(up to float associativity in the IIR carry, covered by tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+
+def make_stream_mesh(
+    n_data: int = 1, n_seq: int | None = None, devices=None
+) -> Mesh:
+    """Mesh with axes (data, seq).  Defaults to all devices on the seq axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_seq is None:
+        n_seq = devices.size // n_data
+    if n_data * n_seq != devices.size:
+        raise ValueError(f"{n_data}x{n_seq} != {devices.size} devices")
+    return Mesh(devices.reshape(n_data, n_seq), axis_names=("data", "seq"))
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def halo_exchange(block: jax.Array, left: int, right: int, axis_name: str) -> jax.Array:
+    """Extend a per-shard block with `left` trailing samples from the left
+    neighbor and `right` leading samples from the right neighbor.
+
+    Boundary shards get ZEROS -- matching the zero-filled delay-line priming
+    of the RTL streaming model (reference ref/minn_delay_line.sv:58-74), so a
+    causal metric on the extended block reproduces the unsharded stream
+    exactly.  Call INSIDE shard_map.  Works on the last axis.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    n_shards = jax.lax.axis_size(axis_name)
+    parts = []
+    if left > 0:
+        tail = block[..., -left:]
+        # send my tail to my RIGHT neighbor == receive from LEFT neighbor
+        from_left = jax.lax.ppermute(
+            tail, axis_name, [(i, i + 1) for i in range(n_shards - 1)]
+        )
+        from_left = jnp.where(idx > 0, from_left, jnp.zeros_like(from_left))
+        parts.append(from_left)
+    parts.append(block)
+    if right > 0:
+        head = block[..., :right]
+        from_right = jax.lax.ppermute(
+            head, axis_name, [(i + 1, i) for i in range(n_shards - 1)]
+        )
+        from_right = jnp.where(
+            idx < n_shards - 1, from_right, jnp.zeros_like(from_right)
+        )
+        parts.append(from_right)
+    return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Blocked linear recurrence (exact cross-shard IIR)
+# ---------------------------------------------------------------------------
+
+def blocked_linear_recurrence(a: jax.Array, b: jax.Array, axis_name: str) -> jax.Array:
+    """Exact ``s[n] = a[n] s[n-1] + b[n]`` across shards of the last axis.
+
+    Per-shard associative scan from zero, then a carry fix-up:
+    ``s = s_local + s_carry_in * cumprod(a)`` where the incoming carry is the
+    exclusive prefix-combination of per-shard (prod a, final s).  The carry
+    combine is a tiny all-gather of 2 scalars per shard over ICI.
+    Call INSIDE shard_map.
+    """
+    from ofdm_sync_tpu.ops.windows import linear_recurrence
+
+    s_local = linear_recurrence(a, b)
+    cum_a = jnp.cumprod(a, axis=-1)
+    A_tot = cum_a[..., -1]
+    S_tot = s_local[..., -1]
+
+    n_shards = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    A_all = jax.lax.all_gather(A_tot, axis_name)  # (n_shards, ...)
+    S_all = jax.lax.all_gather(S_tot, axis_name)
+
+    # exclusive scan over shards: carry into shard k is
+    # sum_{j<k} S_all[j] * prod_{j<m<k} A_all[m]
+    def step(carry, js):
+        A_j, S_j = js
+        return carry * A_j + S_j, carry
+
+    _, carries = jax.lax.scan(step, jnp.zeros_like(S_tot), (A_all, S_all))
+    my_carry = carries[idx]
+    return s_local + my_carry[..., None] * cum_a
+
+
+# ---------------------------------------------------------------------------
+# Sharded detector metrics
+# ---------------------------------------------------------------------------
+
+def sharded_minn_rtl_metric(
+    rx: jax.Array,
+    mesh: Mesh,
+    *,
+    quarter_len: int,
+    smooth_shift: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+):
+    """Minn-RTL metric with the time axis sharded over mesh axis 'seq' and
+    branches/batch replicated.  Exact vs the single-device
+    `ops.metrics.minn_rtl_metric` (tests assert equality).
+
+    rx: (branches, L) with L divisible by the seq axis size.
+
+    Implementation: each shard computes its quarter-product locally after a
+    left halo of 3Q+... samples (enough history for the Q-window running sums
+    and the Q/2Q delay taps), then the smoothing IIR runs as a blocked scan.
+    """
+    Q = quarter_len
+    history = 3 * Q  # delay Q + running-sum window Q + 2Q tap shift
+    n = rx.shape[-1]
+    n_seq = mesh.shape["seq"]
+    if n % n_seq:
+        raise ValueError(f"stream length {n} not divisible by seq={n_seq}")
+    block = n // n_seq
+    alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
+    valid_from = max(0, 3 * Q - 1)
+
+    def shard_fn(x_blk):
+        # x_blk: (branches, block)
+        ext = halo_exchange(x_blk, history, 0, "seq")
+        xd = jnp.concatenate(
+            [jnp.zeros_like(ext[..., :Q]), ext[..., :-Q]], axis=-1
+        )
+        # mask the zero-fill at the true stream start (global index < Q)
+        start = jax.lax.axis_index("seq") * block - history
+        gidx = start + jnp.arange(ext.shape[-1])
+        qp = (ext * jnp.conj(xd)).real
+        qp = jnp.where(gidx >= 0, qp, 0.0)  # positions before stream start
+        power = jnp.where(gidx >= 0, jnp.abs(ext) ** 2, 0.0)
+
+        cs_q = jnp.cumsum(qp, axis=-1)
+        cs_p = jnp.cumsum(power, axis=-1)
+
+        def win(cs):
+            return cs - jnp.concatenate(
+                [jnp.zeros_like(cs[..., :Q]), cs[..., :-Q]], axis=-1
+            )
+
+        corr = win(cs_q)
+        energy = win(cs_p)
+        # NOTE: running sums computed from halo'd cumsum are exact only for
+        # positions >= history into the extended block; the halo is sized so
+        # every position of the true block qualifies (or is masked warm-up).
+        def tap(xa, d):
+            return jnp.concatenate(
+                [jnp.zeros_like(xa[..., :d]), xa[..., :-d]], axis=-1
+            )
+
+        corr_total = corr + tap(corr, Q)
+        energy_total = energy + tap(energy, Q) + tap(energy, 2 * Q)
+        # crop halo, sum branches
+        corr_total = jnp.sum(corr_total[..., history:], axis=0)
+        energy_total = jnp.sum(energy_total[..., history:], axis=0)
+
+        gi = jax.lax.axis_index("seq") * block + jnp.arange(block)
+        metric_valid = gi >= valid_from
+        corr_positive = jnp.maximum(corr_total, 0.0)
+
+        a = jnp.where(metric_valid, 1.0 - alpha, 1.0).astype(corr_positive.dtype)
+        b = jnp.where(metric_valid, alpha * corr_positive, 0.0)
+        smooth = blocked_linear_recurrence(a, b, "seq")
+
+        corr_scaled = smooth * (1 << threshold_frac_bits)
+        energy_scaled = energy_total * float(threshold_value)
+        above = metric_valid & (corr_scaled >= energy_scaled)
+        return corr_positive, smooth, energy_total, above
+
+    spec = P(None, "seq")
+    out_spec = P("seq")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        check_vma=False,
+    )
+    return fn(rx)
+
+
+def sharded_aa_metric(rx: jax.Array, mesh: Mesh, L: int):
+    """[A][A] streaming metric sharded over 'seq'.  Exact vs
+    `ops.metrics.aa_metric` (history = 2L: delay L + running window L)."""
+    history = 2 * L
+    n = rx.shape[-1]
+    n_seq = mesh.shape["seq"]
+    if n % n_seq:
+        raise ValueError(f"stream length {n} not divisible by seq={n_seq}")
+    block = n // n_seq
+
+    def shard_fn(x_blk):
+        ext = halo_exchange(x_blk, history, 0, "seq")
+        start = jax.lax.axis_index("seq") * block - history
+        gidx = start + jnp.arange(ext.shape[-1])
+        xd = jnp.concatenate([jnp.zeros_like(ext[..., :L]), ext[..., :-L]], axis=-1)
+        prod = ext * jnp.conj(xd)
+        prod = jnp.where(gidx >= L, prod, jnp.zeros((), prod.dtype))
+        power = jnp.where(gidx >= 0, jnp.abs(ext) ** 2, 0.0)
+
+        def win(x):
+            cs = jnp.cumsum(x, axis=-1)
+            return cs - jnp.concatenate(
+                [jnp.zeros_like(cs[..., :L]), cs[..., :-L]], axis=-1
+            )
+
+        Pc = jnp.sum(win(prod)[..., history:], axis=0)
+        R = jnp.sum(win(power)[..., history:], axis=0)
+        gi = jax.lax.axis_index("seq") * block + jnp.arange(block)
+        valid = gi >= L
+        noise_floor = 1e-6 * L
+        M = jnp.where(
+            valid & (R > noise_floor),
+            jnp.minimum(jnp.abs(Pc) ** 2 / jnp.maximum(R, 1e-12) ** 2, 1.0),
+            0.0,
+        )
+        return Pc, R, M, valid
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, "seq"),),
+        out_specs=(P("seq"), P("seq"), P("seq"), P("seq")),
+        check_vma=False,
+    )
+    return fn(rx)
+
+
+def sharded_sc_metric(rx: jax.Array, mesh: Mesh, n_fft: int):
+    """Schmidl-Cox metric sharded over 'seq'.
+
+    Forward-looking window: each shard needs a RIGHT halo of N-1 samples.
+    Output is the full out_len = L - N + 1 array, computed shard-locally and
+    cropped (the final shard's tail beyond out_len is dropped by the caller).
+    Returns (M, P, R) each of global length L (last N-1 entries undefined,
+    caller slices [:L - n_fft + 1])."""
+    half = n_fft // 2
+    n = rx.shape[-1]
+    n_seq = mesh.shape["seq"]
+    if n % n_seq:
+        raise ValueError(f"stream length {n} not divisible by seq={n_seq}")
+    block = n // n_seq
+    halo = n_fft  # need samples d .. d+N-1 for offset d
+
+    def shard_fn(x_blk):
+        ext = halo_exchange(x_blk, 0, halo, "seq")
+        u = ext[..., :-half] * jnp.conj(ext[..., half:])
+        csu = jnp.cumsum(u, axis=-1)
+        Pw = jnp.concatenate(
+            [csu[..., half - 1 : half], csu[..., half:] - csu[..., :-half]], axis=-1
+        )
+        p = jnp.abs(ext) ** 2
+        csp = jnp.cumsum(p, axis=-1)
+        S = jnp.concatenate(
+            [csp[..., half - 1 : half], csp[..., half:] - csp[..., :-half]], axis=-1
+        )
+        Pc = jnp.sum(Pw[..., :block], axis=0)
+        R = jnp.sum(S[..., half : half + block], axis=0)
+        M = (jnp.abs(Pc) ** 2) / jnp.maximum(R, 1e-12) ** 2
+        return M, Pc, R
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, "seq"),),
+        out_specs=(P("seq"), P("seq"), P("seq")),
+        check_vma=False,
+    )
+    return fn(rx)
+
+
+def sharded_minn_rtl_planar(
+    iq: jax.Array,
+    mesh: Mesh,
+    *,
+    quarter_len: int,
+    smooth_shift: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+):
+    """Full dp x sp sharded Minn-RTL metric on planar-float IQ.
+
+    iq: (batch, branches, 2, L) float32 with batch sharded over mesh axis
+    'data' and L over 'seq'.  The flagship multi-chip step: data parallelism
+    over streams, sequence parallelism over time with halo exchange + blocked
+    IIR scan over ICI.  Returns (corr_positive, smooth, energy_total, above),
+    each (batch, L) sharded P('data', 'seq').
+    """
+    Q = quarter_len
+    history = 3 * Q
+    n = iq.shape[-1]
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if n % n_seq or iq.shape[0] % n_data:
+        raise ValueError("batch/stream dims not divisible by mesh axes")
+    block = n // n_seq
+    alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
+    valid_from = max(0, 3 * Q - 1)
+
+    def shard_fn(blk):
+        # blk: (B_loc, branches, 2, block)
+        ext = halo_exchange(blk, history, 0, "seq")
+        i, q = ext[..., 0, :], ext[..., 1, :]
+        zQ = jnp.zeros_like(i[..., :Q])
+
+        def tap(x, d):
+            z = jnp.zeros_like(x[..., :d])
+            return jnp.concatenate([z, x[..., :-d]], axis=-1)
+
+        qp = i * tap(i, Q) + q * tap(q, Q)
+        power = i * i + q * q
+
+        def win(x):
+            cs = jnp.cumsum(x, axis=-1)
+            return cs - jnp.concatenate(
+                [jnp.zeros_like(cs[..., :Q]), cs[..., :-Q]], axis=-1
+            )
+
+        corr = win(qp)
+        energy = win(power)
+        corr_total = jnp.sum(corr + tap(corr, Q), axis=-2)[..., history:]
+        energy_total = jnp.sum(
+            energy + tap(energy, Q) + tap(energy, 2 * Q), axis=-2
+        )[..., history:]
+        corr_positive = jnp.maximum(corr_total, 0.0)
+
+        gi = jax.lax.axis_index("seq") * block + jnp.arange(block)
+        metric_valid = gi >= valid_from
+        a = jnp.where(metric_valid, 1.0 - alpha, 1.0).astype(corr_positive.dtype)
+        a = jnp.broadcast_to(a, corr_positive.shape)
+        b = jnp.where(metric_valid, alpha * corr_positive, 0.0)
+        smooth = blocked_linear_recurrence(a, b, "seq")
+
+        above = metric_valid & (
+            smooth * (1 << threshold_frac_bits)
+            >= energy_total * float(threshold_value)
+        )
+        return corr_positive, smooth, energy_total, above
+
+    spec_in = P("data", None, None, "seq")
+    spec_out = P("data", "seq")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_in,),
+        out_specs=(spec_out, spec_out, spec_out, spec_out),
+        check_vma=False,
+    )
+    return fn(iq)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel sweep sharding
+# ---------------------------------------------------------------------------
+
+def shard_batch(x: jax.Array, mesh: Mesh, axis: int = 0) -> jax.Array:
+    """Place a batched array with its leading axis sharded over 'data'."""
+    spec = [None] * x.ndim
+    spec[axis] = "data"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))

@@ -1,0 +1,170 @@
+"""Sharded metrics == single-device metrics, exactly, on a virtual 8-device
+CPU mesh (the multi-chip conformance discipline of SURVEY section 4.6)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ofdm_sync_tpu.parallel.shard import (
+    blocked_linear_recurrence,
+    halo_exchange,
+    make_stream_mesh,
+    shard_batch,
+    sharded_aa_metric,
+    sharded_minn_rtl_metric,
+    sharded_sc_metric,
+)
+from ofdm_sync_tpu.ops import metrics as M
+
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_stream_mesh(n_data=1, n_seq=8)
+
+
+def _rx(rng, branches=2, L=4096):
+    x = rng.standard_normal((branches, L)) + 1j * rng.standard_normal((branches, L))
+    return x.astype(np.complex64)
+
+
+def test_halo_exchange(mesh, rng):
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+
+    def f(blk):
+        return halo_exchange(blk, 3, 2, "seq")
+
+    out = shard_map(
+        f, mesh=mesh, in_specs=(P(None, "seq"),), out_specs=P(None, "seq"),
+        check_vma=False,
+    )(jnp.asarray(x))
+    out = np.asarray(out).reshape(2, 8, 13)  # block 8 + 3 left + 2 right
+    blocks = x.reshape(2, 8, 8)
+    for s in range(8):
+        left = blocks[:, s - 1, -3:] if s > 0 else np.zeros((2, 3), np.float32)
+        right = blocks[:, s + 1, :2] if s < 7 else np.zeros((2, 2), np.float32)
+        want = np.concatenate([left, blocks[:, s], right], axis=-1)
+        np.testing.assert_array_equal(out[:, s], want)
+
+
+def test_blocked_linear_recurrence(mesh, rng):
+    n = 512
+    a = rng.uniform(0.6, 1.0, n).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+
+    def f(a_blk, b_blk):
+        return blocked_linear_recurrence(a_blk, b_blk, "seq")
+
+    got = shard_map(
+        f, mesh=mesh, in_specs=(P("seq"), P("seq")), out_specs=P("seq"),
+        check_vma=False,
+    )(jnp.asarray(a), jnp.asarray(b))
+    from ofdm_sync_tpu.ops.windows import linear_recurrence
+
+    want = linear_recurrence(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_minn_rtl_exact(mesh, rng):
+    Q = 64
+    x = _rx(rng, L=4096)
+    ref = M.minn_rtl_metric(
+        jnp.asarray(x), smooth_shift=3, threshold_value=3276,
+        threshold_frac_bits=15, quarter_len=Q,
+    )
+    corr_pos, smooth, energy, above = sharded_minn_rtl_metric(
+        jnp.asarray(x), mesh, quarter_len=Q, smooth_shift=3,
+        threshold_value=3276, threshold_frac_bits=15,
+    )
+    np.testing.assert_allclose(
+        np.asarray(corr_pos), np.asarray(ref.corr_positive), rtol=1e-5, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(energy), np.asarray(ref.energy_total), rtol=1e-5, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(smooth), np.asarray(ref.smooth_metric), rtol=1e-4, atol=1e-3
+    )
+    # threshold flags may differ only at exact-equality crossings
+    assert np.mean(np.asarray(above) != np.asarray(ref.above_threshold)) < 0.002
+
+
+def test_sharded_aa_exact(mesh, rng):
+    L_half = 64
+    x = _rx(rng, L=4096)
+    ref = M.aa_metric(jnp.asarray(x), L_half)
+    Pс, R, Mm, valid = sharded_aa_metric(jnp.asarray(x), mesh, L_half)
+    np.testing.assert_allclose(np.asarray(Pс), np.asarray(ref.P), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(ref.R), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Mm), np.asarray(ref.M), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref.valid))
+
+
+def test_sharded_sc_exact(mesh, rng):
+    n_fft = 256
+    x = _rx(rng, L=4096)
+    refM, refP, refR = M.sc_metric(jnp.asarray(x), n_fft)
+    Mm, Pc, R = sharded_sc_metric(jnp.asarray(x), mesh, n_fft)
+    out_len = x.shape[-1] - n_fft + 1
+    np.testing.assert_allclose(
+        np.asarray(Pc)[:out_len], np.asarray(refP), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(R)[:out_len], np.asarray(refR), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(Mm)[:out_len], np.asarray(refM), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_sharded_detection_end_to_end(mesh, rng):
+    """Sharded metric -> global event extraction finds the same events."""
+    from ofdm_sync_tpu.ops.detect import extract_gate_events
+    from ofdm_sync_tpu.ops.waveforms import build_minn_rtl_preamble
+    from ofdm_sync_tpu.params import SystemParams
+
+    sys = SystemParams(n_fft=256, num_active=180, cp_len=64, tx_pre_pad=300)
+    Q = 64
+    pre = build_minn_rtl_preamble("qpsk_freq", rng, Q=Q, sys=sys)
+    tx = np.zeros(4096, complex)
+    tx[300 : 300 + pre.size] = pre
+    tx[700:2000] = 0.3 * (
+        rng.standard_normal(1300) + 1j * rng.standard_normal(1300)
+    )
+    x = np.stack([tx, tx]) + 0.05 * (
+        rng.standard_normal((2, 4096)) + 1j * rng.standard_normal((2, 4096))
+    )
+    x = x.astype(np.complex64)
+
+    ref_state = M.minn_rtl_metric(
+        jnp.asarray(x), smooth_shift=3, threshold_value=3276,
+        threshold_frac_bits=15, quarter_len=Q,
+    )
+    ref_events = extract_gate_events(
+        ref_state.above_threshold, ref_state.corr_positive, hysteresis=2,
+        max_events=8, valid_from=3 * Q - 1, tie="last", emit_unclosed=False,
+    )
+    corr_pos, smooth, energy, above = sharded_minn_rtl_metric(
+        jnp.asarray(x), mesh, quarter_len=Q, smooth_shift=3,
+        threshold_value=3276, threshold_frac_bits=15,
+    )
+    got_events = extract_gate_events(
+        above, corr_pos, hysteresis=2, max_events=8, valid_from=3 * Q - 1,
+        tie="last", emit_unclosed=False,
+    )
+    assert int(got_events.count) == int(ref_events.count)
+    n_ev = int(ref_events.count)
+    np.testing.assert_array_equal(
+        np.asarray(got_events.peak_idx)[:n_ev], np.asarray(ref_events.peak_idx)[:n_ev]
+    )
+
+
+def test_shard_batch_data_axis(mesh):
+    x = jnp.arange(32.0).reshape(8, 4)
+    # data axis has size 1 in this mesh; just verify placement API works
+    y = shard_batch(x, mesh)
+    assert y.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
