@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: Minn-RTL detector throughput on one TPU chip.
+"""Headline benchmark: fused-Pallas Minn-RTL detector throughput on one chip.
 
 Prints ONE JSON line:
   {"metric": "iq_samples_per_sec_per_chip", "value": N, "unit": "samples/s",
@@ -36,10 +36,12 @@ HYST = 2
 BRANCHES = 2
 
 
-def _run(batch: int, stream_len: int, iters: int, warmup: int = 2):
+def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
+         use_pallas: bool = True):
     import jax
     import jax.numpy as jnp
     from ofdm_sync_tpu.kernels.streaming import minn_rtl_detect_planar
+    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_planar_pallas
 
     # generate stimulus ON DEVICE: the axon tunnel moves host data at
     # ~18 MB/s, so host-side generation would dominate the bench
@@ -50,19 +52,27 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2):
     )(jax.random.key(0))
     x.block_until_ready()
 
+    kw = dict(
+        quarter_len=Q,
+        smooth_shift=SMOOTH_SHIFT,
+        threshold_value=THRESH,
+        threshold_frac_bits=FRAC_BITS,
+        hysteresis=HYST,
+    )
+
     def one(stream):
-        state, table = minn_rtl_detect_planar(
-            stream,
-            quarter_len=Q,
-            smooth_shift=SMOOTH_SHIFT,
-            threshold_value=THRESH,
-            threshold_frac_bits=FRAC_BITS,
-            hysteresis=HYST,
-        )
+        state, table = minn_rtl_detect_planar(stream, **kw)
         # return compact results so the full metric arrays never leave HBM
         return table.peak_idx, table.count, jnp.sum(state.smooth_metric)
 
-    fn = jax.jit(jax.vmap(one))
+    def batched_pallas(v):
+        state, table = minn_rtl_detect_planar_pallas(v, **kw)
+        return table.peak_idx, table.count, jnp.sum(state.smooth_metric)
+
+    if use_pallas:
+        fn = jax.jit(batched_pallas)
+    else:
+        fn = jax.jit(jax.vmap(one))
 
     def sync(out):
         # block_until_ready can return early through the axon tunnel; a
@@ -73,7 +83,9 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2):
         sync(fn(x))
 
     # p50 detection latency for one stream (fetch-synced)
-    lat_fn = jax.jit(one)
+    lat_fn = jax.jit(one) if not use_pallas else jax.jit(
+        lambda s: batched_pallas(s[None])
+    )
     x1 = x[0]
     sync(lat_fn(x1))
     lats = []
@@ -105,9 +117,14 @@ def main() -> None:
     try:
         sps, dt, lat_ms = _run(batch, stream_len, iters)
     except Exception as e:  # pragma: no cover - defensive hardware fallback
-        print(f"bench: accelerator path failed ({type(e).__name__}: {e}); "
-              "retrying reduced workload", file=sys.stderr)
-        sps, dt, lat_ms = _run(2, 1 << 15, 2)
+        print(f"bench: fused-pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to the XLA path", file=sys.stderr)
+        try:
+            sps, dt, lat_ms = _run(batch, stream_len, iters, use_pallas=False)
+        except Exception as e2:
+            print(f"bench: accelerator path failed ({type(e2).__name__}: "
+                  f"{e2}); retrying reduced workload", file=sys.stderr)
+            sps, dt, lat_ms = _run(2, 1 << 15, 2, use_pallas=False)
 
     print(
         json.dumps(

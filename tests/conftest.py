@@ -27,6 +27,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "parity: end-to-end numeric parity tests vs the reference"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
