@@ -41,7 +41,7 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
     import jax
     import jax.numpy as jnp
     from ofdm_sync_tpu.kernels.streaming import minn_rtl_detect_planar
-    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_planar_pallas
+    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
 
     # generate stimulus ON DEVICE: the axon tunnel moves host data at
     # ~18 MB/s, so host-side generation would dominate the bench
@@ -66,8 +66,10 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
         return table.peak_idx, table.count, jnp.sum(state.smooth_metric)
 
     def batched_pallas(v):
-        state, table = minn_rtl_detect_planar_pallas(v, **kw)
-        return table.peak_idx, table.count, jnp.sum(state.smooth_metric)
+        # fully-fused kernel: IQ in, event table out, zero full-length HBM
+        # round trips (metric + gate FSM stay in VMEM)
+        table = minn_rtl_detect_fused_pallas(v, **kw, block=8192)
+        return table.peak_idx, table.count, jnp.sum(table.peak_value)
 
     if use_pallas:
         fn = jax.jit(batched_pallas)

@@ -113,14 +113,11 @@ def _affine_scan(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     return A, B
 
 
-def _minn_kernel(
-    x_ref,
-    corr_ref,
-    smooth_ref,
-    energy_ref,
-    above_ref,
+def _metric_block(
+    x,
     hist_ref,
     carry_ref,
+    it,
     *,
     Q: int,
     H: int,
@@ -130,14 +127,8 @@ def _minn_kernel(
     threshold_value: int,
     threshold_frac_bits: int,
 ):
-    it = pl.program_id(1)
-
-    @pl.when(it == 0)
-    def _():
-        hist_ref[...] = jnp.zeros_like(hist_ref)
-        carry_ref[...] = jnp.zeros_like(carry_ref)
-
-    x = x_ref[...]  # (NB, C, B) planar float32 rows: [b0_i, b0_q, b1_i, ...]
+    """Shared per-block metric datapath.  Returns (corr_pos, smooth,
+    energy_out, above, gi), each (NB, B); updates hist/carry scratch."""
     ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (NB, C, H+B)
     hist_ref[...] = ext[..., -H:]
 
@@ -169,7 +160,46 @@ def _minn_kernel(
 
     scaled = smooth * jnp.float32(1 << threshold_frac_bits)
     above = valid & (scaled >= energy_out * jnp.float32(threshold_value))
+    return corr_pos, smooth, energy_out, above, gi
 
+
+def _minn_kernel(
+    x_ref,
+    corr_ref,
+    smooth_ref,
+    energy_ref,
+    above_ref,
+    hist_ref,
+    carry_ref,
+    *,
+    Q: int,
+    H: int,
+    B: int,
+    alpha: float,
+    valid_from: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+):
+    it = pl.program_id(1)
+
+    @pl.when(it == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    corr_pos, smooth, energy_out, above, _ = _metric_block(
+        x_ref[...],
+        hist_ref,
+        carry_ref,
+        it,
+        Q=Q,
+        H=H,
+        B=B,
+        alpha=alpha,
+        valid_from=valid_from,
+        threshold_value=threshold_value,
+        threshold_frac_bits=threshold_frac_bits,
+    )
     corr_ref[...] = corr_pos
     smooth_ref[...] = smooth
     energy_ref[...] = energy_out
@@ -283,6 +313,347 @@ def minn_rtl_metric_planar_pallas(
         above_threshold=above,
         valid_from=valid_from,
     )
+
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+_NEG_INF = float("-inf")
+
+
+def _ladder_max(x: jax.Array, fill) -> jax.Array:
+    """Inclusive running max along lanes (log-depth doubling)."""
+    d = 1
+    n = x.shape[-1]
+    while d < n:
+        x = jnp.maximum(x, _shiftz(x, d, fill=fill))
+        d *= 2
+    return x
+
+
+def _ladder_sum(x: jax.Array) -> jax.Array:
+    """Inclusive running sum along lanes (log-depth doubling)."""
+    d = 1
+    n = x.shape[-1]
+    while d < n:
+        x = x + _shiftz(x, d, fill=0)
+        d *= 2
+    return x
+
+
+def _detect_kernel(
+    x_ref,
+    valid_ref,
+    closed_ref,
+    start_ref,
+    close_ref,
+    pidx_ref,
+    pval_ref,
+    meta_ref,
+    hist_ref,
+    carry_ref,
+    gate_ref,   # i32 (NB, LANE): lane0 = last_above, lane1 = cluster_count
+    tstart_ref,  # i32 (NB, LANE) per-slot gate start
+    tlast_ref,   # i32 (NB, LANE) per-slot last above
+    tpidx_ref,   # i32 (NB, LANE) per-slot peak index
+    tpval_ref,   # f32 (NB, LANE) per-slot peak value
+    *,
+    Q: int,
+    H: int,
+    B: int,
+    NB: int,
+    alpha: float,
+    valid_from: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+    hysteresis: int,
+    max_events: int,
+    L_true: int,
+    batch: int,
+    tie_last: bool,
+    emit_unclosed: bool,
+):
+    """Fused metric + gate/hysteresis/peak FSM (reference
+    ref/minn_preamble_detector.sv:337-384, minn_rtl.py:750-825).
+
+    The FSM's closed form (see ops/detect.py): gates are clusters of
+    above-runs with gaps <= h; the cross-block state is only (index of last
+    above sample, number of clusters so far) plus the per-slot event table --
+    all carried in VMEM scratch.  Blocks with no above samples and no open
+    gate skip the whole event machinery (`pl.when`), so the common case costs
+    exactly the metric datapath.
+    """
+    it = pl.program_id(1)
+    ib = pl.program_id(0)
+    h = max(int(hysteresis), 1)
+
+    @pl.when(it == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+        gate_ref[...] = jnp.full_like(gate_ref, -1)
+        gate_ref[...] = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, gate_ref.shape, 1) == 1,
+            0,
+            gate_ref[...],
+        )
+        tstart_ref[...] = jnp.full_like(tstart_ref, _I32_MAX)
+        tlast_ref[...] = jnp.full_like(tlast_ref, -1)
+        tpidx_ref[...] = jnp.full_like(tpidx_ref, -1 if tie_last else _I32_MAX)
+        tpval_ref[...] = jnp.full_like(tpval_ref, _NEG_INF)
+
+    corr_pos, _smooth, _energy, above, gi = _metric_block(
+        x_ref[...],
+        hist_ref,
+        carry_ref,
+        it,
+        Q=Q,
+        H=H,
+        B=B,
+        alpha=alpha,
+        valid_from=valid_from,
+        threshold_value=threshold_value,
+        threshold_frac_bits=threshold_frac_bits,
+    )
+    # mask stream-length padding and batch padding rows
+    row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
+    above = above & (gi < L_true) & (row < batch)
+
+    carry_la = gate_ref[..., 0:1]  # (NB, 1) last above before this block
+    any_above = jnp.max(above.astype(jnp.int32)) > 0
+    gate_open = (carry_la >= 0) & (it * B - carry_la <= h)
+    any_open = jnp.max(gate_open.astype(jnp.int32)) > 0
+
+    @pl.when(any_above | any_open)
+    def _():
+        track = corr_pos
+        above_idx = jnp.where(above, gi, jnp.int32(-1))
+        la_local = _ladder_max(above_idx, fill=-1)
+        last_above = jnp.maximum(la_local, carry_la)
+        prev_above = jnp.maximum(_shiftz(la_local, 1, fill=-1), carry_la)
+        new_cluster = above & ((prev_above < 0) | (gi - prev_above > h))
+        cs = _ladder_sum(new_cluster.astype(jnp.int32))
+        carry_count = gate_ref[..., 1:2]
+        cluster_id = carry_count + cs
+        below_run = gi - last_above
+        # gi < L_true: samples in the stream-length padding do not exist in
+        # the unpadded semantics and must not be peak-tracked
+        in_gate = (
+            (last_above >= 0) & (below_run <= h) & (cluster_id >= 1)
+            & (gi < L_true)
+        )
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, tstart_ref.shape, 1)
+        neg_inf = jnp.float32(_NEG_INF)
+        for c in range(1, max_events + 1):
+            m = in_gate & (cluster_id == c)
+            bstart = jnp.min(
+                jnp.where(m, gi, jnp.int32(_I32_MAX)), axis=-1, keepdims=True
+            )
+            bpv = jnp.max(jnp.where(m, track, neg_inf), axis=-1, keepdims=True)
+            is_peak = m & (track == bpv)
+            if tie_last:
+                bidx = jnp.max(
+                    jnp.where(is_peak, gi, jnp.int32(-1)), axis=-1, keepdims=True
+                )
+            else:
+                bidx = jnp.min(
+                    jnp.where(is_peak, gi, jnp.int32(_I32_MAX)),
+                    axis=-1,
+                    keepdims=True,
+                )
+            blast = jnp.max(
+                jnp.where(above & (cluster_id == c), gi, jnp.int32(-1)),
+                axis=-1,
+                keepdims=True,
+            )
+            sel = lane == (c - 1)
+            tstart_ref[...] = jnp.where(
+                sel, jnp.minimum(tstart_ref[...], bstart), tstart_ref[...]
+            )
+            tlast_ref[...] = jnp.where(
+                sel, jnp.maximum(tlast_ref[...], blast), tlast_ref[...]
+            )
+            # peak merge: later blocks win ties for tie='last' (they come
+            # later in stream order), earlier keep theirs for 'first'
+            cur_pv = tpval_ref[...]
+            if tie_last:
+                take = (bpv > cur_pv) | ((bpv == cur_pv) & (bpv > neg_inf))
+            else:
+                take = bpv > cur_pv
+            tpval_ref[...] = jnp.where(
+                sel, jnp.maximum(cur_pv, bpv), cur_pv
+            )
+            tpidx_ref[...] = jnp.where(
+                sel & take, jnp.broadcast_to(bidx, tpidx_ref.shape), tpidx_ref[...]
+            )
+
+        la_fin = last_above[..., -1:]
+        cnt_fin = cluster_id[..., -1:]
+        gl = jax.lax.broadcasted_iota(jnp.int32, gate_ref.shape, 1)
+        gate_ref[...] = jnp.where(
+            gl == 0,
+            jnp.broadcast_to(la_fin, gate_ref.shape),
+            jnp.where(
+                gl == 1,
+                jnp.broadcast_to(cnt_fin, gate_ref.shape),
+                gate_ref[...],
+            ),
+        )
+
+    # finalize the (tiny) event-table outputs every step; the last write wins
+    slot = jax.lax.broadcasted_iota(jnp.int32, tstart_ref.shape, 1)
+    cnt = gate_ref[..., 1:2]
+    exists = slot < jnp.minimum(cnt, max_events)
+    close_raw = tlast_ref[...] + h
+    closed = (close_raw <= L_true - 1) & exists
+    valid = exists & (closed if not emit_unclosed else exists)
+    z = jnp.int32(0)
+    valid_ref[...] = valid.astype(jnp.uint8)
+    closed_ref[...] = closed.astype(jnp.uint8)
+    start_ref[...] = jnp.where(exists, tstart_ref[...], z)
+    close_ref[...] = jnp.where(exists, jnp.clip(close_raw, 0, L_true - 1), z)
+    pidx_ref[...] = jnp.where(exists, tpidx_ref[...], z)
+    pval_ref[...] = jnp.where(exists, tpval_ref[...], jnp.float32(0.0))
+    count = jnp.sum(valid.astype(jnp.int32), axis=-1, keepdims=True)
+    overflow = (cnt > max_events).astype(jnp.int32)
+    ml = jax.lax.broadcasted_iota(jnp.int32, meta_ref.shape, 1)
+    meta_ref[...] = jnp.where(
+        ml == 0,
+        jnp.broadcast_to(count, meta_ref.shape),
+        jnp.broadcast_to(overflow, meta_ref.shape),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "quarter_len",
+        "smooth_shift",
+        "threshold_value",
+        "threshold_frac_bits",
+        "hysteresis",
+        "max_events",
+        "tie",
+        "emit_unclosed",
+        "block",
+        "batch_tile",
+        "interpret",
+    ),
+)
+def minn_rtl_detect_fused_pallas(
+    iq: jax.Array,
+    *,
+    quarter_len: int,
+    smooth_shift: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+    hysteresis: int,
+    max_events: int = 8,
+    tie: str = "last",
+    emit_unclosed: bool = False,
+    block: int = 4096,
+    batch_tile: int = 8,
+    interpret: bool | None = None,
+):
+    """Fully-fused Minn-RTL detection: IQ in, GateEvents out, nothing else
+    touches HBM.  Semantically identical to `minn_rtl_metric_planar_pallas`
+    followed by `ops.detect.extract_gate_events` (tests assert equality).
+
+    iq: (batch, branches, 2, L) planar float32 (or unbatched (branches, 2, L)).
+    """
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if max_events > _LANE:
+        raise ValueError(f"max_events must be <= {_LANE}")
+
+    squeeze = iq.ndim == 3
+    if squeeze:
+        iq = iq[None]
+    batch, branches, planes, L = iq.shape
+    assert planes == 2, "expected planar (..., 2, L) IQ"
+    Q = quarter_len
+    valid_from = max(0, 3 * Q - 1)
+    alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
+
+    C = branches * planes
+    x = iq.astype(jnp.float32).reshape(batch, C, L)
+    B = min(block, _round_up(L, _LANE))
+    Lp = _round_up(L, B)
+    NB = _round_up(min(batch_tile, batch), 8)
+    Np = _round_up(batch, NB)
+    H = _round_up(max(3 * Q, _LANE), _LANE)
+    if Lp != L or Np != batch:
+        xp = jnp.zeros((Np, C, Lp), jnp.float32)
+        x = xp.at[:batch, :, :L].set(x)
+
+    kernel = functools.partial(
+        _detect_kernel,
+        Q=Q,
+        H=H,
+        B=B,
+        NB=NB,
+        alpha=alpha,
+        valid_from=valid_from,
+        threshold_value=threshold_value,
+        threshold_frac_bits=threshold_frac_bits,
+        hysteresis=hysteresis,
+        max_events=max_events,
+        L_true=L,
+        batch=batch,
+        tie_last=(tie == "last"),
+        emit_unclosed=emit_unclosed,
+    )
+    i32 = jnp.int32
+    out_shape = [
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),   # valid
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),   # closed
+        jax.ShapeDtypeStruct((Np, _LANE), i32),         # gate_start
+        jax.ShapeDtypeStruct((Np, _LANE), i32),         # gate_close
+        jax.ShapeDtypeStruct((Np, _LANE), i32),         # peak_idx
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.float32), # peak_value
+        jax.ShapeDtypeStruct((Np, _LANE), i32),         # meta: count, overflow
+    ]
+    ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Np // NB, Lp // B),
+        in_specs=[pl.BlockSpec((NB, C, B), lambda ib, it: (ib, 0, it))],
+        out_specs=[ev_spec] * 7,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NB, C, H), jnp.float32),     # IQ history
+            pltpu.VMEM((NB, _LANE), jnp.float32),    # smoothing carry
+            pltpu.VMEM((NB, _LANE), i32),            # gate FSM carry
+            pltpu.VMEM((NB, _LANE), i32),            # per-slot gate start
+            pltpu.VMEM((NB, _LANE), i32),            # per-slot last above
+            pltpu.VMEM((NB, _LANE), i32),            # per-slot peak idx
+            pltpu.VMEM((NB, _LANE), jnp.float32),    # per-slot peak value
+        ],
+        # the event machinery's worst-case temporaries push the static VMEM
+        # stack past Mosaic's conservative 16M default; the hardware has more
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+    valid, closed, gate_start, gate_close, peak_idx, peak_val, meta = [
+        o[:batch] for o in outs
+    ]
+    E = max_events
+    table = GateEvents(
+        valid=valid[:, :E].astype(bool),
+        closed=closed[:, :E].astype(bool),
+        gate_start=gate_start[:, :E],
+        gate_close=gate_close[:, :E],
+        peak_idx=peak_idx[:, :E],
+        peak_value=peak_val[:, :E],
+        count=meta[:, 0],
+        overflow=meta[:, 1].astype(bool),
+    )
+    if squeeze:
+        table = jax.tree.map(lambda a: a[0], table)
+    return table
 
 
 def minn_rtl_detect_planar_pallas(

@@ -17,9 +17,11 @@ from ofdm_sync_tpu.kernels.streaming import (
     to_planar,
 )
 from ofdm_sync_tpu.kernels.pallas_minn import (
+    minn_rtl_detect_fused_pallas,
     minn_rtl_detect_planar_pallas,
     minn_rtl_metric_planar_pallas,
 )
+from ofdm_sync_tpu.ops.detect import extract_gate_events
 
 KW = dict(smooth_shift=3, threshold_value=3276, threshold_frac_bits=15)
 
@@ -96,3 +98,82 @@ def test_pallas_detect_events_match(rng):
         np.asarray(out_tab.peak_idx[0]), np.asarray(ref_tab.peak_idx)
     )
     assert int(ref_tab.count) >= 1  # the preamble is actually detected
+
+
+def _two_stage_events(iq, Q, h, E, tie, emit, block, bt):
+    st = minn_rtl_metric_planar_pallas(
+        iq, quarter_len=Q, **KW, block=block, batch_tile=bt
+    )
+    return jax.vmap(
+        lambda a, c: extract_gate_events(
+            a, c, hysteresis=h, max_events=E, valid_from=st.valid_from,
+            tie=tie, emit_unclosed=emit,
+        )
+    )(st.above_threshold, st.corr_positive)
+
+
+def _assert_tables_equal(ref, out):
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "count", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
+    rv, ov = np.asarray(ref.peak_value), np.asarray(out.peak_value)
+    np.testing.assert_allclose(ov, rv, atol=1e-4 * max(1.0, np.abs(rv).max()))
+
+
+@pytest.mark.parametrize(
+    "h,E,tie,emit", [(2, 8, "last", False), (5, 4, "first", True)]
+)
+def test_fused_detect_matches_two_stage(rng, h, E, tie, emit):
+    """Fused in-kernel gate FSM == metric kernel + extract_gate_events."""
+    batch, Q, L = 3, 16, 3000
+    iq = (0.3 * rng.standard_normal((batch, 2, 2, L))).astype(np.float32)
+    A = rng.standard_normal(Q) + 1j * rng.standard_normal(Q)
+    pre = np.concatenate([-A, A, A, -A, -A])
+    pre /= np.sqrt(np.mean(np.abs(pre) ** 2))
+    for b in range(batch):
+        p = 400 + 600 * b
+        iq[b, :, 0, p:p + 5 * Q] += 4 * pre.real.astype(np.float32)
+        iq[b, :, 1, p:p + 5 * Q] += 4 * pre.imag.astype(np.float32)
+    iq = jnp.asarray(iq)
+    ref = _two_stage_events(iq, Q, h, E, tie, emit, 512, 8)
+    out = minn_rtl_detect_fused_pallas(
+        iq, quarter_len=Q, **KW, hysteresis=h, max_events=E, tie=tie,
+        emit_unclosed=emit, block=512, batch_tile=8,
+    )
+    _assert_tables_equal(ref, out)
+    assert int(np.asarray(out.count).min()) >= 1
+
+
+def test_fused_detect_zero_signal_unclosed_gate():
+    """Zero stream -> threshold trivially met -> one unclosed gate; padded
+    samples past the true stream end must not be peak-tracked."""
+    iq = jnp.zeros((2, 2, 2, 2000), jnp.float32)
+    ref = _two_stage_events(iq, 16, 1, 3, "last", True, 512, 8)
+    out = minn_rtl_detect_fused_pallas(
+        iq, quarter_len=16, **KW, hysteresis=1, max_events=3, tie="last",
+        emit_unclosed=True, block=512, batch_tile=8,
+    )
+    _assert_tables_equal(ref, out)
+    assert int(out.count[0]) == 1 and not bool(out.closed[0, 0])
+
+
+def test_fused_detect_gate_spanning_blocks(rng):
+    """A gate straddling a kernel block boundary merges correctly."""
+    Q, L, block = 16, 2048, 512
+    iq = (0.05 * rng.standard_normal((1, 2, 2, L))).astype(np.float32)
+    A = rng.standard_normal(Q) + 1j * rng.standard_normal(Q)
+    pre = np.concatenate([-A, A, A, -A, -A])
+    pre /= np.sqrt(np.mean(np.abs(pre) ** 2))
+    p = block - 2 * Q  # peak region crosses the first block boundary
+    iq[0, :, 0, p:p + 5 * Q] += 4 * pre.real.astype(np.float32)
+    iq[0, :, 1, p:p + 5 * Q] += 4 * pre.imag.astype(np.float32)
+    iq = jnp.asarray(iq)
+    ref = _two_stage_events(iq, Q, 2, 8, "last", False, block, 8)
+    out = minn_rtl_detect_fused_pallas(
+        iq, quarter_len=Q, **KW, hysteresis=2, max_events=8, tie="last",
+        emit_unclosed=False, block=block, batch_tile=8,
+    )
+    _assert_tables_equal(ref, out)
+    assert int(out.count[0]) >= 1
