@@ -1,0 +1,49 @@
+"""CLI dispatcher, CP/FFT STO demo, and profiling utilities."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ofdm_sync_tpu.__main__ import main as cli_main
+from ofdm_sync_tpu.pipelines.cp_fft_demo import (
+    EARLY_SAMPLES,
+    LATE_SAMPLES,
+    run_demo,
+)
+from ofdm_sync_tpu.utils.profiling import Throughput, kernel_stats
+
+
+def test_cp_fft_demo_sto_estimates():
+    """STO from phase slope, reference sign convention (reference
+    ofdm_cp_fft_demo.py:95-105): a window starting d samples EARLY sees the
+    symbol delayed by d -> STO estimate +d; a late window -> -d (its ISI from
+    the next symbol's CP warrants a looser tolerance)."""
+    res = run_demo(np.random.default_rng(7))
+    assert abs(res.sto_est_early - EARLY_SAMPLES) < 0.5
+    assert abs(res.sto_est_late - (-LATE_SAMPLES)) < 2.0
+
+
+def test_cli_list(capsys):
+    assert cli_main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("sc", "minn_rtl", "zc_v2", "aa", "cp_fft_demo"):
+        assert name in out
+    assert "MinnRTLDetector" in out
+
+
+def test_cli_runs_demo(capsys):
+    assert cli_main(["cp_fft_demo"]) == 0
+    out = capsys.readouterr().out
+    assert "STO estimate" in out
+
+
+def test_throughput_meter():
+    x = jnp.ones((4, 256))
+    stats = Throughput(samples_per_call=4 * 256, warmup=1).measure(
+        lambda v: jnp.sum(v * 2), x, iters=3
+    )
+    assert stats["samples_per_sec"] > 0
+    stats2 = kernel_stats(
+        lambda v: jnp.sum(v), x, samples_per_call=4 * 256, iters=2,
+        label="test",
+    )
+    assert stats2["iters"] == 2
