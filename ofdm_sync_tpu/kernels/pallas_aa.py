@@ -1,0 +1,273 @@
+"""Fused Pallas TPU kernel for the [A][A] streaming detector.
+
+The second flagship: the detector specified by the reference's FPGA design
+doc (docs/aa_preamble_sync_design.md) and modelled in reference
+sync_aa.py:421-571.  One kernel pass computes, per VMEM-resident time block:
+
+  lag-L complex correlation P (planar re/im) -> L-window running sums ->
+  antenna combine -> normalized metric M = |P|^2 / R^2 -> threshold gate ->
+  gate/hysteresis/peak FSM on |P|^2, capturing (P_re, P_im, M) at the peak
+
+so the CFO estimate `angle(P_peak) * fs / (2 pi L)` and the frame start
+`peak - 2L + 1` (reference sync_aa.py:533-540) come straight out of the
+event table with zero full-length HBM traffic.
+
+Shares the windowed-sum ladders and the in-VMEM event machinery with the
+Minn-RTL kernel (kernels/pallas_common.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ofdm_sync_tpu.kernels import pallas_common as common
+
+_LANE = common.LANE
+
+
+def _aa_kernel(
+    x_ref,
+    valid_ref,
+    closed_ref,
+    start_ref,
+    close_ref,
+    pidx_ref,
+    pval_ref,
+    meta_ref,
+    pre_ref,
+    pim_ref,
+    mpk_ref,
+    hist_ref,
+    gate_ref,
+    tstart_ref,
+    tlast_ref,
+    tpidx_ref,
+    tpval_ref,
+    spre_ref,
+    spim_ref,
+    sm_ref,
+    *,
+    L: int,
+    H: int,
+    B: int,
+    NB: int,
+    threshold: float,
+    hysteresis: int,
+    max_events: int,
+    L_true: int,
+    batch: int,
+    tie_last: bool,
+    emit_unclosed: bool,
+):
+    it = pl.program_id(1)
+    ib = pl.program_id(0)
+
+    @pl.when(it == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+        common.event_scratch_init(
+            gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            (spre_ref, spim_ref, sm_ref), tie_last=tie_last,
+        )
+
+    # rows: [b0_i, b1_i, ..., b0_q, b1_q, ...] -- plane-major grouping keeps
+    # everything 3-D (Mosaic tiles the last two dims; 4-D buffers and
+    # sublane-offset slices crash the lowering).  The planar complex lag
+    # product then needs no row slicing at all:
+    #   Re(x conj(x_d)) summed over planes = sum_rows ext * ext_d
+    #   Im(x conj(x_d)) = q*i_d - i*q_d   = sum_rows sign * ext * swap(ext_d)
+    # where swap is a half-row sublane roll pairing each I row with its Q row
+    # and sign is -1 on I rows, +1 on Q rows.
+    x = x_ref[...]  # (NB, 2*BR, B)
+    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (NB, 2*BR, H+B)
+    hist_ref[...] = ext[..., -H:]
+    br = ext.shape[1] // 2
+
+    # P = sum_window x[n] conj(x[n-L]) (reference sync_aa.py:463-481);
+    # zero-filled history reproduces the RTL delay-line priming.
+    ext_d = common.shiftz(ext, L)
+    swapped_d = pltpu.roll(ext_d, br, axis=1)
+    sublane = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+    sign = jnp.where(sublane < br, jnp.float32(-1.0), jnp.float32(1.0))
+    pre = jnp.sum(ext * ext_d, axis=1)  # (NB, H+B) antenna-combined
+    pim = jnp.sum(sign * ext * swapped_d, axis=1)
+    pw = jnp.sum(ext * ext, axis=1)
+
+    P_re = common.window_sum(pre, L)[..., H:]  # (NB, B)
+    P_im = common.window_sum(pim, L)[..., H:]
+    R = common.window_sum(pw, L)[..., H:]
+
+    gi = it * B + jax.lax.broadcasted_iota(jnp.int32, P_re.shape, 1)
+    valid = gi >= L
+    p_sq = P_re * P_re + P_im * P_im
+    noise_floor = jnp.float32(1e-6 * L)
+    eps = jnp.float32(1e-12)
+    M = jnp.where(
+        valid & (R > noise_floor),
+        jnp.minimum(p_sq / jnp.maximum(R, eps) ** 2, 1.0),
+        0.0,
+    )
+    above = valid & (M >= jnp.float32(threshold))
+    row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
+    above = above & (gi < L_true) & (row < batch)
+
+    # peak is tracked on |P|^2, NOT on M (reference sync_aa.py:522-529)
+    common.event_update(
+        above, p_sq, gi, it,
+        B=B, hysteresis=hysteresis, max_events=max_events,
+        tie_last=tie_last, L_true=L_true,
+        gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
+        tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
+        extras=(P_re, P_im, M), extra_refs=(spre_ref, spim_ref, sm_ref),
+    )
+    common.event_finalize(
+        valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+        meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+        (pre_ref, pim_ref, mpk_ref), (spre_ref, spim_ref, sm_ref),
+        hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+        emit_unclosed=emit_unclosed,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "half_len",
+        "threshold",
+        "hysteresis",
+        "max_events",
+        "tie",
+        "emit_unclosed",
+        "block",
+        "batch_tile",
+        "interpret",
+    ),
+)
+def aa_detect_fused_pallas(
+    iq: jax.Array,
+    *,
+    half_len: int,
+    threshold: float = 0.15,
+    hysteresis: int = 128,
+    max_events: int = 8,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+    block: int = 4096,
+    batch_tile: int = 8,
+    interpret: bool | None = None,
+):
+    """Fully-fused [A][A] detection on planar float32 IQ.
+
+    iq: (batch, branches, 2, L) or unbatched (branches, 2, L).
+    Returns (GateEvents, P_at_peak, M_at_peak) with leading batch axes --
+    everything a receiver needs for timing (peak - 2L + 1) and CFO
+    (angle(P) fs / (2 pi L)).  P_at_peak is PLANAR float32 (..., 2, E)
+    ([0]=re, [1]=im): the experimental axon TPU backend cannot transfer
+    complex arrays to the host; combine with `from_planar` on the host side.
+    """
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if max_events > _LANE:
+        raise ValueError(f"max_events must be <= {_LANE}")
+
+    squeeze = iq.ndim == 3
+    if squeeze:
+        iq = iq[None]
+    batch, branches, planes, L_sig = iq.shape
+    assert planes == 2, "expected planar (..., 2, L) IQ"
+    L = half_len
+
+    # plane-major rows: (batch, 2*branches, L) = [all I rows | all Q rows]
+    x = iq.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
+        batch, 2 * branches, L_sig
+    )
+    C = 2 * branches
+    B = min(block, common.round_up(L_sig, _LANE))
+    Lp = common.round_up(L_sig, B)
+    NB = common.round_up(min(batch_tile, batch), 8)
+    Np = common.round_up(batch, NB)
+    H = common.round_up(max(2 * L, _LANE), _LANE)
+    if Lp != L_sig or Np != batch:
+        xp = jnp.zeros((Np, C, Lp), jnp.float32)
+        x = xp.at[:batch, :, :L_sig].set(x)
+
+    kernel = functools.partial(
+        _aa_kernel,
+        L=L,
+        H=H,
+        B=B,
+        NB=NB,
+        threshold=threshold,
+        hysteresis=hysteresis,
+        max_events=max_events,
+        L_true=L_sig,
+        batch=batch,
+        tie_last=(tie == "last"),
+        emit_unclosed=emit_unclosed,
+    )
+    i32 = jnp.int32
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),  # valid
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),  # closed
+        jax.ShapeDtypeStruct((Np, _LANE), i32),        # gate_start
+        jax.ShapeDtypeStruct((Np, _LANE), i32),        # gate_close
+        jax.ShapeDtypeStruct((Np, _LANE), i32),        # peak_idx
+        jax.ShapeDtypeStruct((Np, _LANE), f32),        # peak_value (|P|^2)
+        jax.ShapeDtypeStruct((Np, _LANE), i32),        # meta
+        jax.ShapeDtypeStruct((Np, _LANE), f32),        # P_re at peak
+        jax.ShapeDtypeStruct((Np, _LANE), f32),        # P_im at peak
+        jax.ShapeDtypeStruct((Np, _LANE), f32),        # M at peak
+    ]
+    ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Np // NB, Lp // B),
+        in_specs=[
+            pl.BlockSpec((NB, C, B), lambda ib, it: (ib, 0, it))
+        ],
+        out_specs=[ev_spec] * 10,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NB, C, H), f32),            # IQ history
+            pltpu.VMEM((NB, _LANE), i32),           # gate FSM carry
+            pltpu.VMEM((NB, _LANE), i32),           # per-slot gate start
+            pltpu.VMEM((NB, _LANE), i32),           # per-slot last above
+            pltpu.VMEM((NB, _LANE), i32),           # per-slot peak idx
+            pltpu.VMEM((NB, _LANE), f32),           # per-slot |P|^2 peak
+            pltpu.VMEM((NB, _LANE), f32),           # per-slot P_re at peak
+            pltpu.VMEM((NB, _LANE), f32),           # per-slot P_im at peak
+            pltpu.VMEM((NB, _LANE), f32),           # per-slot M at peak
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+    (valid, closed, gate_start, gate_close, peak_idx, peak_val, meta,
+     p_re, p_im, m_pk) = [o[:batch] for o in outs]
+    E = max_events
+    table = GateEvents(
+        valid=valid[:, :E].astype(bool),
+        closed=closed[:, :E].astype(bool),
+        gate_start=gate_start[:, :E],
+        gate_close=gate_close[:, :E],
+        peak_idx=peak_idx[:, :E],
+        peak_value=peak_val[:, :E],
+        count=meta[:, 0],
+        overflow=meta[:, 1].astype(bool),
+    )
+    P_at_peak = jnp.stack([p_re[:, :E], p_im[:, :E]], axis=-2)  # (.., 2, E)
+    M_at_peak = m_pk[:, :E]
+    if squeeze:
+        table = jax.tree.map(lambda a: a[0], table)
+        P_at_peak = P_at_peak[0]
+        M_at_peak = M_at_peak[0]
+    return table, P_at_peak, M_at_peak

@@ -42,75 +42,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ofdm_sync_tpu.kernels import pallas_common as common
 from ofdm_sync_tpu.kernels.streaming import MinnRTLFastState
 
-_LANE = 128
-
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
-
-
-def _shiftz(x: jax.Array, d: int, fill: float = 0.0) -> jax.Array:
-    """``y[..., n] = x[..., n - d]`` with `fill` for ``n < d`` (last axis).
-
-    Two lowerings chosen by alignment:
-      * d a lane multiple: concat of a (…, d) fill block with a static slice
-        -- one buffer, no mask, and keeps Mosaic's scoped-VMEM stack small
-        (the big 3-D ext shifts in the flagship Q=512 config are all lane
-        aligned).
-      * small/unaligned d: lane roll + iota mask (sub-lane concats crash the
-        Mosaic lowering; these only occur on the 2-D doubling-ladder arrays,
-        where the iota temporaries are cheap).
-    """
-    if d == 0:
-        return x
-    if d % _LANE == 0:
-        prefix = jnp.full(x.shape[:-1] + (d,), fill, dtype=x.dtype)
-        return jnp.concatenate([prefix, x[..., : x.shape[-1] - d]], axis=-1)
-    rolled = pltpu.roll(x, d, axis=x.ndim - 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.where(lane >= d, rolled, jnp.full_like(x, fill))
-
-
-def _window_sum(x: jax.Array, window: int) -> jax.Array:
-    """Causal running sum over `window` samples, zero-primed history.
-
-    Equal to `ops.windows.running_sum_stream` (reference
-    ref/minn_running_sum.sv:50-99 semantics): log-depth doubling ladder
-    combined along the binary digits of `window`.
-    """
-    assert window >= 1
-    out = None
-    s = x  # ladder term: running sum over 2^k samples
-    offset = 0
-    maxbit = window.bit_length()
-    for k in range(maxbit):
-        if (window >> k) & 1:
-            contrib = _shiftz(s, offset)
-            out = contrib if out is None else out + contrib
-            offset += 1 << k
-        if k + 1 < maxbit:
-            s = s + _shiftz(s, 1 << k)
-    return out
-
-
-def _affine_scan(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Inclusive scan of affine maps ``s -> a*s + b`` along the last axis.
-
-    Returns (A, B) with ``s[n] = A[n] * s_in + B[n]`` where s_in is the state
-    entering the block.  Hillis-Steele: log2(n) vector steps.
-    """
-    A, B = a, b
-    d = 1
-    n = a.shape[-1]
-    while d < n:
-        A_prev = _shiftz(A, d, fill=1.0)
-        B_prev = _shiftz(B, d, fill=0.0)
-        B = B_prev * A + B
-        A = A_prev * A
-        d *= 2
-    return A, B
+_LANE = common.LANE
+_round_up = common.round_up
+_shiftz = common.shiftz
+_window_sum = common.window_sum
+_affine_scan = common.affine_scan
 
 
 def _metric_block(
@@ -315,30 +254,6 @@ def minn_rtl_metric_planar_pallas(
     )
 
 
-_I32_MAX = jnp.iinfo(jnp.int32).max
-_NEG_INF = float("-inf")
-
-
-def _ladder_max(x: jax.Array, fill) -> jax.Array:
-    """Inclusive running max along lanes (log-depth doubling)."""
-    d = 1
-    n = x.shape[-1]
-    while d < n:
-        x = jnp.maximum(x, _shiftz(x, d, fill=fill))
-        d *= 2
-    return x
-
-
-def _ladder_sum(x: jax.Array) -> jax.Array:
-    """Inclusive running sum along lanes (log-depth doubling)."""
-    d = 1
-    n = x.shape[-1]
-    while d < n:
-        x = x + _shiftz(x, d, fill=0)
-        d *= 2
-    return x
-
-
 def _detect_kernel(
     x_ref,
     valid_ref,
@@ -383,22 +298,15 @@ def _detect_kernel(
     """
     it = pl.program_id(1)
     ib = pl.program_id(0)
-    h = max(int(hysteresis), 1)
 
     @pl.when(it == 0)
     def _():
         hist_ref[...] = jnp.zeros_like(hist_ref)
         carry_ref[...] = jnp.zeros_like(carry_ref)
-        gate_ref[...] = jnp.full_like(gate_ref, -1)
-        gate_ref[...] = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, gate_ref.shape, 1) == 1,
-            0,
-            gate_ref[...],
+        common.event_scratch_init(
+            gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            tie_last=tie_last,
         )
-        tstart_ref[...] = jnp.full_like(tstart_ref, _I32_MAX)
-        tlast_ref[...] = jnp.full_like(tlast_ref, -1)
-        tpidx_ref[...] = jnp.full_like(tpidx_ref, -1 if tie_last else _I32_MAX)
-        tpval_ref[...] = jnp.full_like(tpval_ref, _NEG_INF)
 
     corr_pos, _smooth, _energy, above, gi = _metric_block(
         x_ref[...],
@@ -417,109 +325,18 @@ def _detect_kernel(
     row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
     above = above & (gi < L_true) & (row < batch)
 
-    carry_la = gate_ref[..., 0:1]  # (NB, 1) last above before this block
-    any_above = jnp.max(above.astype(jnp.int32)) > 0
-    gate_open = (carry_la >= 0) & (it * B - carry_la <= h)
-    any_open = jnp.max(gate_open.astype(jnp.int32)) > 0
-
-    @pl.when(any_above | any_open)
-    def _():
-        track = corr_pos
-        above_idx = jnp.where(above, gi, jnp.int32(-1))
-        la_local = _ladder_max(above_idx, fill=-1)
-        last_above = jnp.maximum(la_local, carry_la)
-        prev_above = jnp.maximum(_shiftz(la_local, 1, fill=-1), carry_la)
-        new_cluster = above & ((prev_above < 0) | (gi - prev_above > h))
-        cs = _ladder_sum(new_cluster.astype(jnp.int32))
-        carry_count = gate_ref[..., 1:2]
-        cluster_id = carry_count + cs
-        below_run = gi - last_above
-        # gi < L_true: samples in the stream-length padding do not exist in
-        # the unpadded semantics and must not be peak-tracked
-        in_gate = (
-            (last_above >= 0) & (below_run <= h) & (cluster_id >= 1)
-            & (gi < L_true)
-        )
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, tstart_ref.shape, 1)
-        neg_inf = jnp.float32(_NEG_INF)
-        for c in range(1, max_events + 1):
-            m = in_gate & (cluster_id == c)
-            bstart = jnp.min(
-                jnp.where(m, gi, jnp.int32(_I32_MAX)), axis=-1, keepdims=True
-            )
-            bpv = jnp.max(jnp.where(m, track, neg_inf), axis=-1, keepdims=True)
-            is_peak = m & (track == bpv)
-            if tie_last:
-                bidx = jnp.max(
-                    jnp.where(is_peak, gi, jnp.int32(-1)), axis=-1, keepdims=True
-                )
-            else:
-                bidx = jnp.min(
-                    jnp.where(is_peak, gi, jnp.int32(_I32_MAX)),
-                    axis=-1,
-                    keepdims=True,
-                )
-            blast = jnp.max(
-                jnp.where(above & (cluster_id == c), gi, jnp.int32(-1)),
-                axis=-1,
-                keepdims=True,
-            )
-            sel = lane == (c - 1)
-            tstart_ref[...] = jnp.where(
-                sel, jnp.minimum(tstart_ref[...], bstart), tstart_ref[...]
-            )
-            tlast_ref[...] = jnp.where(
-                sel, jnp.maximum(tlast_ref[...], blast), tlast_ref[...]
-            )
-            # peak merge: later blocks win ties for tie='last' (they come
-            # later in stream order), earlier keep theirs for 'first'
-            cur_pv = tpval_ref[...]
-            if tie_last:
-                take = (bpv > cur_pv) | ((bpv == cur_pv) & (bpv > neg_inf))
-            else:
-                take = bpv > cur_pv
-            tpval_ref[...] = jnp.where(
-                sel, jnp.maximum(cur_pv, bpv), cur_pv
-            )
-            tpidx_ref[...] = jnp.where(
-                sel & take, jnp.broadcast_to(bidx, tpidx_ref.shape), tpidx_ref[...]
-            )
-
-        la_fin = last_above[..., -1:]
-        cnt_fin = cluster_id[..., -1:]
-        gl = jax.lax.broadcasted_iota(jnp.int32, gate_ref.shape, 1)
-        gate_ref[...] = jnp.where(
-            gl == 0,
-            jnp.broadcast_to(la_fin, gate_ref.shape),
-            jnp.where(
-                gl == 1,
-                jnp.broadcast_to(cnt_fin, gate_ref.shape),
-                gate_ref[...],
-            ),
-        )
-
-    # finalize the (tiny) event-table outputs every step; the last write wins
-    slot = jax.lax.broadcasted_iota(jnp.int32, tstart_ref.shape, 1)
-    cnt = gate_ref[..., 1:2]
-    exists = slot < jnp.minimum(cnt, max_events)
-    close_raw = tlast_ref[...] + h
-    closed = (close_raw <= L_true - 1) & exists
-    valid = exists & (closed if not emit_unclosed else exists)
-    z = jnp.int32(0)
-    valid_ref[...] = valid.astype(jnp.uint8)
-    closed_ref[...] = closed.astype(jnp.uint8)
-    start_ref[...] = jnp.where(exists, tstart_ref[...], z)
-    close_ref[...] = jnp.where(exists, jnp.clip(close_raw, 0, L_true - 1), z)
-    pidx_ref[...] = jnp.where(exists, tpidx_ref[...], z)
-    pval_ref[...] = jnp.where(exists, tpval_ref[...], jnp.float32(0.0))
-    count = jnp.sum(valid.astype(jnp.int32), axis=-1, keepdims=True)
-    overflow = (cnt > max_events).astype(jnp.int32)
-    ml = jax.lax.broadcasted_iota(jnp.int32, meta_ref.shape, 1)
-    meta_ref[...] = jnp.where(
-        ml == 0,
-        jnp.broadcast_to(count, meta_ref.shape),
-        jnp.broadcast_to(overflow, meta_ref.shape),
+    common.event_update(
+        above, corr_pos, gi, it,
+        B=B, hysteresis=hysteresis, max_events=max_events,
+        tie_last=tie_last, L_true=L_true,
+        gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
+        tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
+    )
+    common.event_finalize(
+        valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+        meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+        hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+        emit_unclosed=emit_unclosed,
     )
 
 

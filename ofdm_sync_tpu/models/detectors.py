@@ -478,6 +478,50 @@ class AADetector:
             )
         return state, DetectionResult(events=events)
 
+    def detect_fused(self, rx) -> DetectionResult:
+        """TPU fast path: the fully-fused Pallas kernel (kernels.pallas_aa).
+
+        Semantically identical to `detect` (tests assert table equality) but
+        reads the IQ stream from HBM exactly once and emits only the event
+        table -- use for long streams / large batches on hardware.
+        """
+        from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+        from ofdm_sync_tpu.kernels.streaming import to_planar
+
+        x = _dev(rx)
+        if x.ndim == 1:
+            x = x[None]
+        iq = to_planar(x)
+        table, P_pk, M_pk = aa_detect_fused_pallas(
+            iq,
+            half_len=self.L,
+            threshold=self.params.threshold,
+            hysteresis=self.params.hysteresis,
+            max_events=self.max_events,
+        )
+        n = x.shape[-1]
+        L = self.L
+        fs = self.sys.sample_rate_hz
+        P_pk = np.asarray(P_pk)  # planar (2, E)
+        M_pk = np.asarray(M_pk)
+        events = []
+        for slot, e in zip(
+            np.flatnonzero(np.asarray(table.valid)),
+            events_from_table(table, n, gate_end_mode="close"),
+        ):
+            cfo = float(np.arctan2(P_pk[1, slot], P_pk[0, slot])) * fs / (
+                2 * np.pi * L
+            )
+            events.append(
+                DetectionEvent(
+                    detected_start=e["peak_index"] - 2 * L + 1,
+                    cfo_hz=cfo,
+                    metric_at_peak=float(M_pk[slot]),
+                    **e,
+                )
+            )
+        return DetectionResult(events=events)
+
     @staticmethod
     def best(result: DetectionResult) -> DetectionEvent | None:
         """Strongest event by metric (reference sync_aa.py:742-743)."""
