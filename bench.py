@@ -68,7 +68,7 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
     def batched_pallas(v):
         # fully-fused kernel: IQ in, event table out, zero full-length HBM
         # round trips (metric + gate FSM stay in VMEM)
-        table = minn_rtl_detect_fused_pallas(v, **kw, block=8192)
+        table = minn_rtl_detect_fused_pallas(v, **kw, block=16384)
         return table.peak_idx, table.count, jnp.sum(table.peak_value)
 
     if use_pallas:

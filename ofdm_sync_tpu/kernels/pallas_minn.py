@@ -52,10 +52,23 @@ _window_sum = common.window_sum
 _affine_scan = common.affine_scan
 
 
+def _init_decay(dec_ref, alpha: float) -> None:
+    """Fill dec_ref (NB, B) with ``dec[n] = (1-alpha)^(n+1)`` once (grid
+    step 0); reused by every block's constant-coefficient smoothing scan."""
+    d = jnp.full(dec_ref.shape, jnp.float32(1.0 - alpha))
+    step = 1
+    n = dec_ref.shape[-1]
+    while step < n:
+        d = d * _shiftz(d, step, fill=1.0)
+        step *= 2
+    dec_ref[...] = d
+
+
 def _metric_block(
     x,
     hist_ref,
     carry_ref,
+    dec_ref,
     it,
     *,
     Q: int,
@@ -78,10 +91,11 @@ def _metric_block(
     u = jnp.sum(ext * _shiftz(ext, Q), axis=1)  # (NB, H+B) quarter product
     p = jnp.sum(ext * ext, axis=1)  # (NB, H+B) instantaneous power
 
-    corr = _window_sum(u, Q)
-    energy = _window_sum(p, Q)
-    corr_total = corr + _shiftz(corr, Q)
-    energy_total = energy + _shiftz(energy, Q) + _shiftz(energy, 2 * Q)
+    # corr + its Q-delayed tap is just a 2Q window sum of u; energy's three
+    # taps are a 3Q window sum of p (the window sums are linear) -- one
+    # ladder each instead of ladder + explicit taps.
+    corr_total = _window_sum(u, 2 * Q)
+    energy_total = _window_sum(p, 3 * Q)
 
     corr_pos = jnp.maximum(corr_total[..., H:], 0.0)  # (NB, B)
     energy_out = energy_total[..., H:]
@@ -89,12 +103,20 @@ def _metric_block(
     gi = it * B + jax.lax.broadcasted_iota(jnp.int32, corr_pos.shape, 1)
     valid = gi >= valid_from
 
-    # smoothing IIR s[n] = (1-alpha) s[n-1] + alpha c[n], frozen where invalid
-    a = jnp.where(valid, jnp.float32(1.0 - alpha), jnp.float32(1.0))
-    b = jnp.where(valid, jnp.float32(alpha) * corr_pos, jnp.float32(0.0))
-    A, Bv = _affine_scan(a, b)
+    # Smoothing IIR s[n] = (1-alpha) s[n-1] + alpha c[n].  The coefficient is
+    # CONSTANT: the warm-up "freeze" (a=1 while invalid) only ever preserves
+    # the initial zero state, and masking b to zero there preserves it too.
+    # So the scan needs only the b updates with scalar powers of (1-alpha)
+    # (half the work of the general affine scan), plus the precomputed decay
+    # vector for the carried register.
+    Bv = jnp.where(valid, jnp.float32(alpha) * corr_pos, jnp.float32(0.0))
+    step = 1
+    decay = 1.0 - alpha
+    while step < B:
+        Bv = _shiftz(Bv, step, fill=0.0) * jnp.float32(decay ** step) + Bv
+        step *= 2
     carry_in = carry_ref[..., :1]  # (NB, 1)
-    smooth = A * carry_in + Bv
+    smooth = dec_ref[...] * carry_in + Bv
     carry_ref[...] = jnp.broadcast_to(smooth[..., -1:], carry_ref.shape)
 
     scaled = smooth * jnp.float32(1 << threshold_frac_bits)
@@ -110,6 +132,7 @@ def _minn_kernel(
     above_ref,
     hist_ref,
     carry_ref,
+    dec_ref,
     *,
     Q: int,
     H: int,
@@ -125,11 +148,13 @@ def _minn_kernel(
     def _():
         hist_ref[...] = jnp.zeros_like(hist_ref)
         carry_ref[...] = jnp.zeros_like(carry_ref)
+        _init_decay(dec_ref, alpha)
 
     corr_pos, smooth, energy_out, above, _ = _metric_block(
         x_ref[...],
         hist_ref,
         carry_ref,
+        dec_ref,
         it,
         Q=Q,
         H=H,
@@ -230,6 +255,7 @@ def minn_rtl_metric_planar_pallas(
         scratch_shapes=[
             pltpu.VMEM((NB, C, H), jnp.float32),
             pltpu.VMEM((NB, _LANE), jnp.float32),
+            pltpu.VMEM((NB, B), jnp.float32),  # decay vector
         ],
         interpret=interpret,
     )(x)
@@ -265,6 +291,7 @@ def _detect_kernel(
     meta_ref,
     hist_ref,
     carry_ref,
+    dec_ref,
     gate_ref,   # i32 (NB, LANE): lane0 = last_above, lane1 = cluster_count
     tstart_ref,  # i32 (NB, LANE) per-slot gate start
     tlast_ref,   # i32 (NB, LANE) per-slot last above
@@ -303,6 +330,7 @@ def _detect_kernel(
     def _():
         hist_ref[...] = jnp.zeros_like(hist_ref)
         carry_ref[...] = jnp.zeros_like(carry_ref)
+        _init_decay(dec_ref, alpha)
         common.event_scratch_init(
             gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
             tie_last=tie_last,
@@ -312,6 +340,7 @@ def _detect_kernel(
         x_ref[...],
         hist_ref,
         carry_ref,
+        dec_ref,
         it,
         Q=Q,
         H=H,
@@ -441,6 +470,7 @@ def minn_rtl_detect_fused_pallas(
         scratch_shapes=[
             pltpu.VMEM((NB, C, H), jnp.float32),     # IQ history
             pltpu.VMEM((NB, _LANE), jnp.float32),    # smoothing carry
+            pltpu.VMEM((NB, B), jnp.float32),        # decay vector
             pltpu.VMEM((NB, _LANE), i32),            # gate FSM carry
             pltpu.VMEM((NB, _LANE), i32),            # per-slot gate start
             pltpu.VMEM((NB, _LANE), i32),            # per-slot last above
