@@ -1,0 +1,229 @@
+"""Fused Pallas TPU kernel for the ZC streaming CFAR detector stage.
+
+The reference's FPGA-friendly Zadoff-Chu detector (reference
+zc_v2.py:119-158, 288-336) thresholds the matched-filter magnitude against a
+local running average -- a CFAR test -- with an absolute floor and a long
+hysteresis:
+
+  above[n] = corr[n] * 2^frac >= running_sum_W(corr)[n] * thresh
+             and corr[n] >= MIN_CORR_MAG,   valid from n >= W
+
+followed by the standard gate/peak FSM (strongest event selected downstream,
+reference zc_v2.py:567-576).  This kernel fuses the W-window running sum,
+the two-sided threshold, and the in-VMEM event machinery into one pass over
+the correlation-magnitude stream: one HBM read, an event table out.
+
+The matched filter itself stays an XLA FFT convolution
+(`ops.metrics.matched_filter`): at reference length 2048 the FFT form is
+MXU/fusion-friendly and cheap relative to the CFAR scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ofdm_sync_tpu.kernels import pallas_common as common
+
+_LANE = common.LANE
+
+
+def _zc_kernel(
+    x_ref,
+    valid_ref,
+    closed_ref,
+    start_ref,
+    close_ref,
+    pidx_ref,
+    pval_ref,
+    meta_ref,
+    hist_ref,
+    gate_ref,
+    tstart_ref,
+    tlast_ref,
+    tpidx_ref,
+    tpval_ref,
+    *,
+    W: int,
+    H: int,
+    B: int,
+    NB: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+    min_corr_mag: float,
+    hysteresis: int,
+    max_events: int,
+    L_true: int,
+    batch: int,
+    tie_last: bool,
+    emit_unclosed: bool,
+):
+    it = pl.program_id(1)
+    ib = pl.program_id(0)
+
+    @pl.when(it == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+        common.event_scratch_init(
+            gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            tie_last=tie_last,
+        )
+
+    x = x_ref[...]  # (NB, B) corr magnitude
+    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (NB, H+B)
+    hist_ref[...] = ext[..., -H:]
+
+    local_sum = common.window_sum(ext, W)[..., H:]  # (NB, B)
+    gi = it * B + jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    valid = gi >= W
+    above = (
+        valid
+        & (x * jnp.float32(1 << threshold_frac_bits)
+           >= local_sum * jnp.float32(threshold_value))
+        & (x >= jnp.float32(min_corr_mag))
+    )
+    row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
+    above = above & (gi < L_true) & (row < batch)
+
+    common.event_update(
+        above, x, gi, it,
+        B=B, hysteresis=hysteresis, max_events=max_events,
+        tie_last=tie_last, L_true=L_true,
+        gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
+        tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
+    )
+    common.event_finalize(
+        valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+        meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+        hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+        emit_unclosed=emit_unclosed,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "corr_window",
+        "threshold_value",
+        "threshold_frac_bits",
+        "min_corr_mag",
+        "hysteresis",
+        "max_events",
+        "tie",
+        "emit_unclosed",
+        "block",
+        "batch_tile",
+        "interpret",
+    ),
+)
+def zc_cfar_detect_pallas(
+    corr_mag: jax.Array,
+    *,
+    corr_window: int = 2048,
+    threshold_value: int = int(4.0 * (1 << 15) / 2048),
+    threshold_frac_bits: int = 15,
+    min_corr_mag: float = 0.3,
+    hysteresis: int = 256,
+    max_events: int = 16,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+    block: int = 4096,
+    batch_tile: int = 8,
+    interpret: bool | None = None,
+):
+    """CFAR threshold + gate/peak events over matched-filter magnitudes.
+
+    corr_mag: (batch, L) or (L,) float32.  Returns GateEvents with a leading
+    batch axis (or scalar-shaped when unbatched).  Defaults mirror
+    `params.ZCStreamingParams` (reference zc_v2.py:119-158).
+    """
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if max_events > _LANE:
+        raise ValueError(f"max_events must be <= {_LANE}")
+
+    squeeze = corr_mag.ndim == 1
+    if squeeze:
+        corr_mag = corr_mag[None]
+    batch, L_sig = corr_mag.shape
+    x = corr_mag.astype(jnp.float32)
+
+    W = corr_window
+    B = min(block, common.round_up(L_sig, _LANE))
+    Lp = common.round_up(L_sig, B)
+    NB = common.round_up(min(batch_tile, batch), 8)
+    Np = common.round_up(batch, NB)
+    H = common.round_up(max(W, _LANE), _LANE)
+    if Lp != L_sig or Np != batch:
+        xp = jnp.zeros((Np, Lp), jnp.float32)
+        x = xp.at[:batch, :L_sig].set(x)
+
+    kernel = functools.partial(
+        _zc_kernel,
+        W=W,
+        H=H,
+        B=B,
+        NB=NB,
+        threshold_value=threshold_value,
+        threshold_frac_bits=threshold_frac_bits,
+        min_corr_mag=min_corr_mag,
+        hysteresis=hysteresis,
+        max_events=max_events,
+        L_true=L_sig,
+        batch=batch,
+        tie_last=(tie == "last"),
+        emit_unclosed=emit_unclosed,
+    )
+    i32 = jnp.int32
+    out_shape = [
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+    ]
+    ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Np // NB, Lp // B),
+        in_specs=[pl.BlockSpec((NB, B), lambda ib, it: (ib, it))],
+        out_specs=[ev_spec] * 7,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NB, H), jnp.float32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+    valid, closed, gate_start, gate_close, peak_idx, peak_val, meta = [
+        o[:batch] for o in outs
+    ]
+    E = max_events
+    table = GateEvents(
+        valid=valid[:, :E].astype(bool),
+        closed=closed[:, :E].astype(bool),
+        gate_start=gate_start[:, :E],
+        gate_close=gate_close[:, :E],
+        peak_idx=peak_idx[:, :E],
+        peak_value=peak_val[:, :E],
+        count=meta[:, 0],
+        overflow=meta[:, 1].astype(bool),
+    )
+    if squeeze:
+        table = jax.tree.map(lambda a: a[0], table)
+    return table

@@ -360,6 +360,37 @@ class ZCStreamingDetector:
         }
         return res
 
+    def detect_fused(self, rx) -> DetectionResult:
+        """TPU fast path: XLA FFT matched filter + the fused Pallas CFAR/event
+        kernel (kernels.pallas_zc).  Same events as `detect` (tests assert)."""
+        from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+
+        x = _dev(rx)
+        ref = jnp.asarray(self.reference_waveform(), _C64)
+        if self.normalize:
+            corr = M.zc_normalized_correlation_per_branch(x, ref)
+        else:
+            corr = jnp.sum(M.matched_filter(x, ref), axis=0)
+        corr_mag = jnp.abs(corr)
+        table = zc_cfar_detect_pallas(
+            corr_mag,
+            corr_window=self.params.corr_window,
+            threshold_value=self.params.threshold_value,
+            threshold_frac_bits=self.params.threshold_frac_bits,
+            min_corr_mag=self.params.min_corr_mag,
+            hysteresis=self.params.hysteresis,
+            max_events=self.max_events,
+        )
+        n = int(corr_mag.shape[-1])
+        ref_len = self.sys.n_fft
+        events = [
+            DetectionEvent(
+                detected_start=max(0, e["peak_index"] - ref_len + 1), **e
+            )
+            for e in events_from_table(table, n, gate_end_mode="close")
+        ]
+        return DetectionResult(events=events)
+
     @staticmethod
     def strongest(result: DetectionResult) -> DetectionEvent | None:
         """Reference selects the strongest event, not the first

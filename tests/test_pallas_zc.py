@@ -1,0 +1,111 @@
+"""Fused ZC CFAR Pallas kernel vs the XLA ZCStreamingDetector path.
+
+Reference behavior: zc_v2.py:288-336 (CFAR threshold), 360-450 (gate FSM),
+567-576 (strongest-event selection)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+from ofdm_sync_tpu.models.detectors import ZCStreamingDetector
+from ofdm_sync_tpu.ops.detect import extract_gate_events
+from ofdm_sync_tpu.params import SystemParams, ZCParams
+
+
+def _small_detector():
+    return ZCStreamingDetector(
+        sys=SystemParams(n_fft=256, num_active=144, cp_len=64),
+        zc=ZCParams(),
+    )
+
+
+def _stimulus(det, rng, L=6000, pos=1800):
+    ref = det.reference_waveform()
+    sig = np.zeros(L, complex)
+    sig[pos : pos + ref.size] = ref
+    rx = np.stack([sig, 0.7 * sig])
+    return rx + 0.05 * (
+        rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+    )
+
+
+def test_zc_cfar_kernel_matches_xla(rng):
+    det = _small_detector()
+    rx = _stimulus(det, rng)
+    corr, corr_mag, local_sum, above, valid, ref_tab, _ = det._detect_jit(
+        jnp.asarray(rx)
+    )
+    out = zc_cfar_detect_pallas(
+        corr_mag,
+        corr_window=det.params.corr_window,
+        threshold_value=det.params.threshold_value,
+        threshold_frac_bits=det.params.threshold_frac_bits,
+        min_corr_mag=det.params.min_corr_mag,
+        hysteresis=det.params.hysteresis,
+        max_events=det.max_events,
+        block=1024,
+    )
+    assert int(out.count) == int(ref_tab.count) >= 1
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref_tab, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.peak_value), np.asarray(ref_tab.peak_value),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_zc_detector_fused_path_matches_detect(rng):
+    det = _small_detector()
+    rx = _stimulus(det, rng)
+    ref = det.detect(jnp.asarray(rx))
+    out = det.detect_fused(jnp.asarray(rx))
+    assert len(out.events) == len(ref.events) >= 1
+    for a, b in zip(out.events, ref.events):
+        assert a.peak_index == b.peak_index
+        assert a.detected_start == b.detected_start
+    s_out, s_ref = det.strongest(out), det.strongest(ref)
+    assert s_out.peak_index == s_ref.peak_index
+
+
+def test_zc_cfar_kernel_batched_multi_preamble(rng):
+    det = _small_detector()
+    ref = det.reference_waveform()
+    mags = []
+    refs = []
+    for b in range(3):
+        L = 9000
+        sig = np.zeros(L, complex)
+        # both preambles past the W=2048 CFAR warm-up (valid from n >= W)
+        for pos in (2600 + 300 * b, 6200 + 300 * b):
+            sig[pos : pos + ref.size] = ref
+        rx = np.stack([sig, 0.7 * sig]) + 0.05 * (
+            rng.standard_normal((2, L)) + 1j * rng.standard_normal((2, L))
+        )
+        _, corr_mag, _, above, _, tab, _ = det._detect_jit(jnp.asarray(rx))
+        mags.append(np.asarray(corr_mag))
+        refs.append(tab)
+    out = zc_cfar_detect_pallas(
+        jnp.asarray(np.stack(mags)),
+        corr_window=det.params.corr_window,
+        threshold_value=det.params.threshold_value,
+        threshold_frac_bits=det.params.threshold_frac_bits,
+        min_corr_mag=det.params.min_corr_mag,
+        hysteresis=det.params.hysteresis,
+        max_events=det.max_events,
+        block=2048,
+    )
+    for b, tab in enumerate(refs):
+        assert int(out.count[b]) == int(tab.count) >= 2
+        k = int(tab.count)
+        np.testing.assert_array_equal(
+            np.asarray(out.peak_idx[b])[:k], np.asarray(tab.peak_idx)[:k]
+        )
+        # strongest-event selection (reference zc_v2.py:567-576) agrees
+        pv = np.asarray(out.peak_value[b])[:k]
+        rv = np.asarray(tab.peak_value)[:k]
+        assert np.argmax(pv) == np.argmax(rv)
