@@ -1,0 +1,85 @@
+"""Fully-sharded detection (dp x sp + cross-shard event merge) == unsharded.
+
+Runs on the virtual 8-device CPU mesh (conftest).  Gates straddling seq-shard
+boundaries must merge into single events with globally-resolved peaks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ofdm_sync_tpu.kernels.streaming import minn_rtl_detect_planar, to_planar
+from ofdm_sync_tpu.parallel.shard import make_stream_mesh, sharded_minn_rtl_detect
+from ofdm_sync_tpu.ops.waveforms import build_minn_rtl_preamble
+
+KW = dict(
+    quarter_len=32,
+    smooth_shift=3,
+    threshold_value=3276,
+    threshold_frac_bits=15,
+    hysteresis=2,
+)
+
+
+def _streams(rng, batch=4, L=4096, boundary_positions=False):
+    Q = KW["quarter_len"]
+    iq = np.zeros((batch, 2, 2, L), np.float32)
+    for b in range(batch):
+        sig = np.zeros(L, complex)
+        if boundary_positions:
+            # peak region lands exactly on a seq-shard boundary (L/4 blocks
+            # on a 4-wide seq axis)
+            pos = L // 4 - 3 * Q + (b % 2) * (L // 4)
+        else:
+            pos = 500 + 700 * b
+        pre = build_minn_rtl_preamble(
+            "qpsk_freq", rng=np.random.default_rng(b), Q=Q
+        )
+        sig[pos : pos + 5 * Q] = pre
+        rx = np.stack([sig, 0.8 * sig])
+        rx = rx + 0.05 * (
+            rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+        )
+        iq[b] = np.asarray(to_planar(jnp.asarray(rx)))
+    return iq
+
+
+@pytest.mark.parametrize("boundary", [False, True])
+def test_sharded_detect_equals_unsharded(rng, boundary):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    iq = _streams(rng, boundary_positions=boundary)
+    table = sharded_minn_rtl_detect(jnp.asarray(iq), mesh, **KW)
+    for b in range(iq.shape[0]):
+        _, ref = minn_rtl_detect_planar(jnp.asarray(iq[b]), **KW)
+        assert int(table.count[b]) == int(ref.count), b
+        k = int(ref.count)
+        assert k >= 1
+        for f in ("gate_start", "gate_close", "peak_idx", "valid", "closed"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(table, f))[b][:k],
+                np.asarray(getattr(ref, f))[:k],
+                err_msg=f"{f} stream {b}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(table.peak_value)[b][:k],
+            np.asarray(ref.peak_value)[:k],
+            rtol=1e-3,
+            atol=1e-6,
+        )
+
+
+def test_sharded_detect_emit_unclosed(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    iq = np.zeros((2, 2, 2, 2048), np.float32)  # zero stream: unclosed gate
+    t_closed = sharded_minn_rtl_detect(
+        jnp.asarray(iq), mesh, **KW, emit_unclosed=False
+    )
+    t_open = sharded_minn_rtl_detect(
+        jnp.asarray(iq), mesh, **KW, emit_unclosed=True
+    )
+    assert int(t_closed.count[0]) == 0
+    assert int(t_open.count[0]) == 1 and not bool(t_open.closed[0, 0])
