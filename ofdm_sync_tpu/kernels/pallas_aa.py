@@ -75,28 +75,28 @@ def _aa_kernel(
             (spre_ref, spim_ref, sm_ref), tie_last=tie_last,
         )
 
-    # rows: [b0_i, b1_i, ..., b0_q, b1_q, ...] -- plane-major grouping keeps
-    # everything 3-D (Mosaic tiles the last two dims; 4-D buffers and
-    # sublane-offset slices crash the lowering).  The planar complex lag
-    # product then needs no row slicing at all:
+    # Layout (C=2*BR, NB, time): channel rows LEADING so the tiled dims are
+    # (NB=8, lanes) with zero sublane padding, and the row axis is the cheap
+    # untiled leading dim.  Rows are plane-major [b0_i, b1_i, .., b0_q, ..].
+    # The planar complex lag product needs no tiled-dim slicing:
     #   Re(x conj(x_d)) summed over planes = sum_rows ext * ext_d
     #   Im(x conj(x_d)) = q*i_d - i*q_d   = sum_rows sign * ext * swap(ext_d)
-    # where swap is a half-row sublane roll pairing each I row with its Q row
-    # and sign is -1 on I rows, +1 on Q rows.
-    x = x_ref[...]  # (NB, 2*BR, B)
-    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (NB, 2*BR, H+B)
+    # where swap exchanges the I and Q row groups (a leading-dim concat) and
+    # sign is -1 on I rows, +1 on Q rows.
+    x = x_ref[...]  # (2*BR, NB, B)
+    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (2*BR, NB, H+B)
     hist_ref[...] = ext[..., -H:]
-    br = ext.shape[1] // 2
+    br = ext.shape[0] // 2
 
     # P = sum_window x[n] conj(x[n-L]) (reference sync_aa.py:463-481);
     # zero-filled history reproduces the RTL delay-line priming.
     ext_d = common.shiftz(ext, L)
-    swapped_d = pltpu.roll(ext_d, br, axis=1)
-    sublane = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
-    sign = jnp.where(sublane < br, jnp.float32(-1.0), jnp.float32(1.0))
-    pre = jnp.sum(ext * ext_d, axis=1)  # (NB, H+B) antenna-combined
-    pim = jnp.sum(sign * ext * swapped_d, axis=1)
-    pw = jnp.sum(ext * ext, axis=1)
+    swapped_d = jnp.concatenate([ext_d[br:], ext_d[:br]], axis=0)
+    lead = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
+    sign = jnp.where(lead < br, jnp.float32(-1.0), jnp.float32(1.0))
+    pre = jnp.sum(ext * ext_d, axis=0)  # (NB, H+B) antenna-combined
+    pim = jnp.sum(sign * ext * swapped_d, axis=0)
+    pw = jnp.sum(ext * ext, axis=0)
 
     P_re = common.window_sum(pre, L)[..., H:]  # (NB, B)
     P_im = common.window_sum(pim, L)[..., H:]
@@ -197,6 +197,7 @@ def aa_detect_fused_pallas(
     if Lp != L_sig or Np != batch:
         xp = jnp.zeros((Np, C, Lp), jnp.float32)
         x = xp.at[:batch, :, :L_sig].set(x)
+    x = x.transpose(1, 0, 2)  # (C, Np, Lp): channel rows leading (see kernel)
 
     kernel = functools.partial(
         _aa_kernel,
@@ -231,12 +232,12 @@ def aa_detect_fused_pallas(
         kernel,
         grid=(Np // NB, Lp // B),
         in_specs=[
-            pl.BlockSpec((NB, C, B), lambda ib, it: (ib, 0, it))
+            pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))
         ],
         out_specs=[ev_spec] * 10,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((NB, C, H), f32),            # IQ history
+            pltpu.VMEM((C, NB, H), f32),            # IQ history
             pltpu.VMEM((NB, _LANE), i32),           # gate FSM carry
             pltpu.VMEM((NB, _LANE), i32),           # per-slot gate start
             pltpu.VMEM((NB, _LANE), i32),           # per-slot last above

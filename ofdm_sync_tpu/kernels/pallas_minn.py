@@ -80,16 +80,21 @@ def _metric_block(
     threshold_frac_bits: int,
 ):
     """Shared per-block metric datapath.  Returns (corr_pos, smooth,
-    energy_out, above, gi), each (NB, B); updates hist/carry scratch."""
-    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (NB, C, H+B)
+    energy_out, above, gi), each (NB, B); updates hist/carry scratch.
+
+    x and hist are laid out (C, NB, ...) -- channel rows LEADING -- so the
+    tiled dims are (NB=8, lanes) with zero sublane padding; a (NB, C=4, ...)
+    layout tiles (4, lanes) and wastes half the VPU on the ext-level passes.
+    """
+    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (C, NB, H+B)
     hist_ref[...] = ext[..., -H:]
 
     # Branch/plane combine FIRST (the RTL sums correlation and power across
     # antennas, reference ref/minn_preamble_detector.sv:247-260; the I/Q plane
     # sum is the real part of x * conj(x_delayed)) -- the window sums are
     # linear, so combining early quarters the VPU work.
-    u = jnp.sum(ext * _shiftz(ext, Q), axis=1)  # (NB, H+B) quarter product
-    p = jnp.sum(ext * ext, axis=1)  # (NB, H+B) instantaneous power
+    u = jnp.sum(ext * _shiftz(ext, Q), axis=0)  # (NB, H+B) quarter product
+    p = jnp.sum(ext * ext, axis=0)  # (NB, H+B) instantaneous power
 
     # corr + its Q-delayed tap is just a 2Q window sum of u; energy's three
     # taps are a 3Q window sum of p (the window sums are linear) -- one
@@ -226,6 +231,7 @@ def minn_rtl_metric_planar_pallas(
     if Lp != L or Np != batch:
         xp = jnp.zeros((Np, C, Lp), jnp.float32)
         x = xp.at[:batch, :, :L].set(x)
+    x = x.transpose(1, 0, 2)  # (C, Np, Lp): channel rows leading (see kernel)
     n_time = Lp // B
     n_batch = Np // NB
 
@@ -249,11 +255,11 @@ def minn_rtl_metric_planar_pallas(
     corr, smooth, energy, above = pl.pallas_call(
         kernel,
         grid=(n_batch, n_time),
-        in_specs=[pl.BlockSpec((NB, C, B), lambda ib, it: (ib, 0, it))],
+        in_specs=[pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))],
         out_specs=[out_spec, out_spec, out_spec, out_spec],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((NB, C, H), jnp.float32),
+            pltpu.VMEM((C, NB, H), jnp.float32),
             pltpu.VMEM((NB, _LANE), jnp.float32),
             pltpu.VMEM((NB, B), jnp.float32),  # decay vector
         ],
@@ -432,6 +438,7 @@ def minn_rtl_detect_fused_pallas(
     if Lp != L or Np != batch:
         xp = jnp.zeros((Np, C, Lp), jnp.float32)
         x = xp.at[:batch, :, :L].set(x)
+    x = x.transpose(1, 0, 2)  # (C, Np, Lp): channel rows leading (see kernel)
 
     kernel = functools.partial(
         _detect_kernel,
@@ -464,11 +471,11 @@ def minn_rtl_detect_fused_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=(Np // NB, Lp // B),
-        in_specs=[pl.BlockSpec((NB, C, B), lambda ib, it: (ib, 0, it))],
+        in_specs=[pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))],
         out_specs=[ev_spec] * 7,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((NB, C, H), jnp.float32),     # IQ history
+            pltpu.VMEM((C, NB, H), jnp.float32),     # IQ history
             pltpu.VMEM((NB, _LANE), jnp.float32),    # smoothing carry
             pltpu.VMEM((NB, B), jnp.float32),        # decay vector
             pltpu.VMEM((NB, _LANE), i32),            # gate FSM carry
