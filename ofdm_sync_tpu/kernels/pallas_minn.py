@@ -49,7 +49,6 @@ _LANE = common.LANE
 _round_up = common.round_up
 _shiftz = common.shiftz
 _window_sum = common.window_sum
-_affine_scan = common.affine_scan
 
 
 def _init_decay(dec_ref, alpha: float) -> None:
