@@ -210,7 +210,136 @@ int64_t minn_rtl_detect_i16(
   return total_events;
 }
 
+// ---------------------------------------------------------------------------
+// [A][A] detector -- the FPGA design doc's fixed-point pipeline
+// (reference docs/aa_preamble_sync_design.md sections 5-9: recursive
+//  P[n] = P[n-1] + x[n] x*[n-L] - x[n-L] x*[n-2L], 40-bit P accumulators,
+//  R over the current window, division-free M >= theta compare on
+//  |P|^2 * 2^frac >= theta_q * R^2, gate/hysteresis/peak on |P|^2,
+//  CFO from angle(P_peak), frame start = peak - 2L + 1)
+// ---------------------------------------------------------------------------
+
+typedef struct {
+  int32_t half_len;       // L
+  int64_t threshold_q;    // theta * 2^frac_bits (e.g. 0.15 * 2^15 = 4915)
+  int32_t frac_bits;
+  int32_t hysteresis;
+  int32_t emit_unclosed;  // bool
+} AAParams;
+
+namespace {
+
+struct AAPath {
+  DelayLine<int32_t> di, dq;   // x[n-L]
+  RunningSum p_re, p_im, r;    // L-window sums (== the recursive update)
+  explicit AAPath(int64_t L) : di(L), dq(L), p_re(L), p_im(L), r(L) {}
+};
+
+}  // namespace
+
+// Streaming [A][A] detection over planar int16 IQ (iq[branch][plane][n]).
+// Event peak values are |P|^2 as double (they exceed int64 at full scale);
+// ev_p_re/ev_p_im return P at the peak for host-side CFO estimation.
+// Returns total gates seen.
+int64_t aa_detect_i16(
+    const int16_t* iq, int64_t n, int32_t branches, const AAParams* p,
+    int32_t* ev_start, int32_t* ev_close, int32_t* ev_peak,
+    double* ev_peak_val, double* ev_p_re, double* ev_p_im,
+    uint8_t* ev_closed, int32_t cap,
+    int64_t* tr_p_re, int64_t* tr_p_im, int64_t* tr_r, uint8_t* tr_above) {
+  const int64_t L = p->half_len;
+  const int h = (p->hysteresis > 1) ? p->hysteresis : 1;
+
+  std::vector<AAPath> paths;
+  paths.reserve(branches);
+  for (int32_t b = 0; b < branches; ++b) paths.emplace_back(L);
+
+  bool gate_open = false;
+  int64_t gate_start = 0, peak_idx = 0;
+  double peak_val = 0.0, peak_p_re = 0.0, peak_p_im = 0.0;
+  int low_count = 0;
+  int64_t total_events = 0;
+
+  auto emit = [&](int64_t close_idx, bool closed) {
+    if (total_events < cap) {
+      ev_start[total_events] = int32_t(gate_start);
+      ev_close[total_events] = int32_t(close_idx);
+      ev_peak[total_events] = int32_t(peak_idx);
+      ev_peak_val[total_events] = peak_val;
+      ev_p_re[total_events] = peak_p_re;
+      ev_p_im[total_events] = peak_p_im;
+      ev_closed[total_events] = closed ? 1 : 0;
+    }
+    ++total_events;
+  };
+
+  for (int64_t idx = 0; idx < n; ++idx) {
+    int64_t P_re = 0, P_im = 0, R = 0;
+    for (int32_t b = 0; b < branches; ++b) {
+      const int16_t* base = iq + int64_t(b) * 2 * n;
+      int32_t i_in = base[idx], q_in = base[n + idx];
+      AAPath& ap = paths[b];
+      int32_t id = ap.di.step(i_in);
+      int32_t qd = ap.dq.step(q_in);
+      // x[n] * conj(x[n-L]) in planar integers
+      int64_t pr = int64_t(i_in) * id + int64_t(q_in) * qd;
+      int64_t pi = int64_t(q_in) * id - int64_t(i_in) * qd;
+      int64_t pw = int64_t(i_in) * i_in + int64_t(q_in) * q_in;
+      // combine antennas AFTER the per-antenna window sums
+      // (doc section 6: P and R summed across antennas)
+      P_re += ap.p_re.step(pr);
+      P_im += ap.p_im.step(pi);
+      R += ap.r.step(pw);
+    }
+    bool valid = idx >= L;
+    // |P|^2 and R^2 exceed int64 at full scale -- 128-bit compare
+    unsigned __int128 p_sq =
+        (unsigned __int128)(P_re < 0 ? -P_re : P_re) * (P_re < 0 ? -P_re : P_re)
+        + (unsigned __int128)(P_im < 0 ? -P_im : P_im) * (P_im < 0 ? -P_im : P_im);
+    unsigned __int128 r_sq = (unsigned __int128)R * (unsigned __int128)R;
+    bool above = valid && R > 0 &&
+                 (p_sq << p->frac_bits) >= r_sq * (unsigned __int128)p->threshold_q;
+
+    if (tr_p_re) tr_p_re[idx] = P_re;
+    if (tr_p_im) tr_p_im[idx] = P_im;
+    if (tr_r) tr_r[idx] = R;
+    if (tr_above) tr_above[idx] = above ? 1 : 0;
+
+    // gate FSM peak-tracks |P|^2 with a strict '>' update ('first' ties,
+    // reference sync_aa.py:522-529)
+    double track = double(P_re) * double(P_re) + double(P_im) * double(P_im);
+    if (!gate_open) {
+      if (above) {
+        gate_open = true;
+        gate_start = idx;
+        peak_idx = idx;
+        peak_val = track;
+        peak_p_re = double(P_re);
+        peak_p_im = double(P_im);
+        low_count = 0;
+      }
+    } else {
+      if (track > peak_val) {
+        peak_val = track;
+        peak_idx = idx;
+        peak_p_re = double(P_re);
+        peak_p_im = double(P_im);
+      }
+      if (above) {
+        low_count = 0;
+      } else {
+        if (++low_count >= h) {
+          emit(idx, true);
+          gate_open = false;
+        }
+      }
+    }
+  }
+  if (gate_open && p->emit_unclosed) emit(n - 1, false);
+  return total_events;
+}
+
 // Library version/ABI tag for the ctypes wrapper's staleness check.
-int32_t minn_rtl_abi_version(void) { return 1; }
+int32_t minn_rtl_abi_version(void) { return 2; }
 
 }  // extern "C"

@@ -26,7 +26,7 @@ _SRC = Path(__file__).resolve().parents[2] / "native" / "src" / "minn_rtl.cc"
 _BUILD_DIR = Path(__file__).resolve().parents[2] / "native" / "build"
 _LIB_PATH = _BUILD_DIR / "libminn_rtl.so"
 
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 
 class NativeBuildError(RuntimeError):
@@ -58,6 +58,16 @@ class _Params(ctypes.Structure):
         ("hysteresis", ctypes.c_int32),
         ("emit_unclosed", ctypes.c_int32),
         ("timing_offset", ctypes.c_int32),
+    ]
+
+
+class _AAParams(ctypes.Structure):
+    _fields_ = [
+        ("half_len", ctypes.c_int32),
+        ("threshold_q", ctypes.c_int64),
+        ("frac_bits", ctypes.c_int32),
+        ("hysteresis", ctypes.c_int32),
+        ("emit_unclosed", ctypes.c_int32),
     ]
 
 
@@ -100,8 +110,103 @@ def load_library() -> ctypes.CDLL:
         i32p, i32p, i32p, f64p, u8p, ctypes.c_int32,
         opt(i64p), opt(i64p), opt(i64p), opt(u8p),
     ]
+    lib.aa_detect_i16.restype = ctypes.c_int64
+    lib.aa_detect_i16.argtypes = [
+        i16p, ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(_AAParams),
+        i32p, i32p, i32p, f64p, f64p, f64p, u8p, ctypes.c_int32,
+        opt(i64p), opt(i64p), opt(i64p), opt(u8p),
+    ]
     _lib_cache = lib
     return lib
+
+
+@dataclass
+class NativeAADetection:
+    """[A][A] event table + optional integer traces (C++ fixed point)."""
+
+    count: int
+    total: int
+    gate_start: np.ndarray
+    gate_close: np.ndarray
+    peak_idx: np.ndarray
+    peak_value: np.ndarray   # |P|^2 at peak
+    p_at_peak: np.ndarray    # complex, for CFO = angle(P) fs / (2 pi L)
+    closed: np.ndarray
+    P_re: np.ndarray | None = None
+    P_im: np.ndarray | None = None
+    R: np.ndarray | None = None
+    above: np.ndarray | None = None
+
+    @property
+    def overflow(self) -> bool:
+        return self.total > self.count
+
+
+def aa_detect_native(
+    iq: np.ndarray,
+    *,
+    half_len: int = 512,
+    threshold: float = 0.15,
+    threshold_frac_bits: int = 15,
+    hysteresis: int = 128,
+    emit_unclosed: bool = True,
+    max_events: int = 8,
+    return_traces: bool = False,
+) -> NativeAADetection:
+    """Run the C++ fixed-point [A][A] detector on planar int16 IQ.
+
+    iq: (branches, 2, L) int16.  Implements the FPGA design doc's pipeline
+    (reference docs/aa_preamble_sync_design.md sections 5-9) in exact integer
+    arithmetic with a 128-bit division-free M >= theta compare.
+    """
+    lib = load_library()
+    iq = np.ascontiguousarray(iq, dtype=np.int16)
+    if iq.ndim == 2:
+        iq = iq[None]
+    branches, planes, n = iq.shape
+    if planes != 2:
+        raise ValueError("expected planar (branches, 2, L) IQ")
+    p = _AAParams(
+        half_len=half_len,
+        threshold_q=int(round(threshold * (1 << threshold_frac_bits))),
+        frac_bits=threshold_frac_bits,
+        hysteresis=hysteresis,
+        emit_unclosed=int(emit_unclosed),
+    )
+    ev_start = np.zeros(max_events, np.int32)
+    ev_close = np.zeros(max_events, np.int32)
+    ev_peak = np.zeros(max_events, np.int32)
+    ev_val = np.zeros(max_events, np.float64)
+    ev_pre = np.zeros(max_events, np.float64)
+    ev_pim = np.zeros(max_events, np.float64)
+    ev_closed = np.zeros(max_events, np.uint8)
+    if return_traces:
+        tp = np.zeros(n, np.int64)
+        tq = np.zeros(n, np.int64)
+        tr = np.zeros(n, np.int64)
+        ta = np.zeros(n, np.uint8)
+    else:
+        tp = tq = tr = ta = None
+    total = lib.aa_detect_i16(
+        iq, n, branches, ctypes.byref(p),
+        ev_start, ev_close, ev_peak, ev_val, ev_pre, ev_pim, ev_closed,
+        max_events, tp, tq, tr, ta,
+    )
+    count = int(min(total, max_events))
+    return NativeAADetection(
+        count=count,
+        total=int(total),
+        gate_start=ev_start[:count],
+        gate_close=ev_close[:count],
+        peak_idx=ev_peak[:count],
+        peak_value=ev_val[:count],
+        p_at_peak=ev_pre[:count] + 1j * ev_pim[:count],
+        closed=ev_closed[:count].astype(bool),
+        P_re=tp,
+        P_im=tq,
+        R=tr,
+        above=ta,
+    )
 
 
 @dataclass
