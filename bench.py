@@ -145,6 +145,58 @@ def main() -> None:
         f"({lat_ms * 1e3 / (stream_len / 4096):.1f}us per 4096-pt block)",
         file=sys.stderr,
     )
+    if platform == "tpu":
+        _secondary_kernels(batch, stream_len)
+
+
+def _secondary_kernels(batch: int, stream_len: int) -> None:
+    """Non-headline kernel throughputs (stderr only; the driver's JSON line
+    stays the single Minn-RTL metric above)."""
+    import jax
+    import jax.numpy as jnp
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+
+    try:
+        x = jax.jit(
+            lambda k: jax.random.normal(
+                k, (batch, BRANCHES, 2, stream_len), jnp.float32
+            )
+        )(jax.random.key(1))
+        x.block_until_ready()
+        fn = jax.jit(
+            lambda v: aa_detect_fused_pallas(v, half_len=512, block=16384)[0]
+        )
+        out = fn(x)
+        int(np.asarray(out.count).sum())
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn(x)
+        int(np.asarray(out.count).sum())
+        aa_sps = batch * stream_len * 5 / (time.perf_counter() - t0)
+
+        xm = jax.jit(
+            lambda k: jnp.abs(
+                jax.random.normal(k, (batch, stream_len), jnp.float32)
+            )
+        )(jax.random.key(2))
+        xm.block_until_ready()
+        fz = jax.jit(lambda v: zc_cfar_detect_pallas(v, block=16384))
+        out = fz(xm)
+        int(np.asarray(out.count).sum())
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fz(xm)
+        int(np.asarray(out.count).sum())
+        zc_sps = batch * stream_len * 5 / (time.perf_counter() - t0)
+        print(
+            f"bench secondary: aa_fused={aa_sps / 1e6:.0f}M samples/s "
+            f"zc_cfar={zc_sps / 1e6:.0f}M samples/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"bench secondary skipped ({type(e).__name__}: {e})",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
