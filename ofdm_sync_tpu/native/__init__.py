@@ -35,15 +35,19 @@ class NativeBuildError(RuntimeError):
 
 def _build() -> None:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    # build to a per-process temp name and atomically rename: concurrent
+    # test processes may race to (re)build
+    tmp = _LIB_PATH.with_suffix(f".{os.getpid()}.tmp.so")
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", str(_LIB_PATH), str(_SRC),
+        "-o", str(tmp), str(_SRC),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise NativeBuildError(
             f"native build failed: {' '.join(cmd)}\n{proc.stderr}"
         )
+    os.replace(tmp, _LIB_PATH)
 
 
 _lib_cache: ctypes.CDLL | None = None

@@ -36,6 +36,16 @@ def test_cli_runs_demo(capsys):
     assert "STO estimate" in out
 
 
+def test_profiler_trace_context(tmp_path):
+    from ofdm_sync_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "tr")):
+        jnp.sum(jnp.ones((64, 64)) * 2).block_until_ready()
+    # the profiler writes a plugins/profile/<run>/ tree
+    produced = list((tmp_path / "tr").rglob("*"))
+    assert produced, "no trace artifacts written"
+
+
 def test_throughput_meter():
     x = jnp.ones((4, 256))
     stats = Throughput(samples_per_call=4 * 256, warmup=1).measure(

@@ -109,6 +109,33 @@ def test_chunked_tiny_chunks_cross_gate():
     )
 
 
+def test_state_checkpoint_roundtrip(tmp_path):
+    """The stream state is a serializable pytree: checkpoint mid-stream,
+    restore, continue -- identical events (the checkpoint/resume story)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    iq = _make_stream(rng, L=4000, n_pre=2)
+    state = minn_rtl_stream_init(PARAMS, branches=2)
+    state = minn_rtl_stream_step(state, jnp.asarray(iq[..., :2100]), params=PARAMS)
+
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez(tmp_path / "ckpt.npz", *[np.asarray(x) for x in leaves])
+    with np.load(tmp_path / "ckpt.npz") as z:
+        restored_leaves = [jnp.asarray(z[k]) for k in z.files]
+    restored = jax.tree.unflatten(treedef, restored_leaves)
+
+    a = minn_rtl_stream_step(state, jnp.asarray(iq[..., 2100:]), params=PARAMS)
+    b = minn_rtl_stream_step(restored, jnp.asarray(iq[..., 2100:]), params=PARAMS)
+    ta = minn_rtl_stream_finalize(a, params=PARAMS)
+    tb = minn_rtl_stream_finalize(b, params=PARAMS)
+    for f in ("count", "gate_start", "peak_idx", "peak_value"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ta, f)), np.asarray(getattr(tb, f)), err_msg=f
+        )
+    assert int(ta.count) >= 1
+
+
 def test_finalize_midstream_is_nondestructive():
     rng = np.random.default_rng(4)
     iq = _make_stream(rng, L=3000, n_pre=1)
