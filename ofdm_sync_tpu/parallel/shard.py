@@ -18,7 +18,6 @@ Everything here is exact: sharded output == single-device output bit-for-bit
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax

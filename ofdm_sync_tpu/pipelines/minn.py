@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ofdm_sync_tpu.params import MinnDetectorParams, SYS_30M72
 from ofdm_sync_tpu.models.detectors import MinnDetector
