@@ -147,7 +147,10 @@ def compare_block_lengths(
     results: dict[int, dict] = {}
     for n in block_lengths:
         rng = np.random.default_rng(0)
-        sub = sys.replace(n_fft=n, cp_len=max(n // 4, 1))
+        # scale the active band with the FFT size (the reference's sweep uses
+        # a length-parameterized preamble, reference minn.py:656-700)
+        active = max(4, (n * sys.num_active // sys.n_fft) & ~1)
+        sub = sys.replace(n_fft=n, cp_len=max(n // 4, 1), num_active=active)
         preamble = build_minn_preamble(rng, sub, include_cp=True)
         setup = common.build_setup(
             preamble, rng, sys=sub, channel_name=channel_name, cir_mode="two",
@@ -172,10 +175,75 @@ def compare_block_lengths(
     return results
 
 
+def plot_block_length_comparison(
+    channel_name: str | None,
+    block_lengths: tuple[int, ...] = (512, 1024, 2048),
+    snr_values: tuple[float, ...] = (-5.0, 0.0, 5.0, 10.0),
+    cfo_hz: float = CFO_HZ,
+) -> None:
+    """Per-SNR overlay of normalized Minn metrics for each symbol length
+    (reference minn.py:899-1008; artifact set
+    plots/minn/block_length_comparison/)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from pathlib import Path
+
+    sys0 = SYS_30M72
+    cond = "measured_channel" if channel_name else "flat_awgn"
+    out_dir = Path("plots/minn/block_length_comparison")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for snr_db in snr_values:
+        fig, ax = plt.subplots(figsize=(11, 5))
+        for n in block_lengths:
+            rng = np.random.default_rng(0)
+            active = max(4, (n * sys0.num_active // sys0.n_fft) & ~1)
+            sub = sys0.replace(
+                n_fft=n, cp_len=max(n // 4, 1), num_active=active
+            )
+            preamble = build_minn_preamble(rng, sub, include_cp=True)
+            setup = common.build_setup(
+                preamble, rng, sys=sub, channel_name=channel_name,
+                cir_mode="two", snr_db=snr_db, cfo_hz=cfo_hz,
+            )
+            out = MinnDetector(sub).detect(setup.rx)
+            M = np.asarray(out["M"])
+            peak = int(out["peak"])
+            ax.plot(
+                M / max(M.max(), 1e-12),
+                label=f"N={n} (peak @ {peak})",
+                linewidth=0.9,
+            )
+        ax.set_title(
+            f"Minn metric vs symbol length - {cond}, SNR {snr_db:+.0f} dB"
+        )
+        ax.set_xlabel("Sample offset")
+        ax.set_ylabel("Normalized metric")
+        ax.grid(True, alpha=0.4)
+        ax.legend()
+        fig.tight_layout()
+        sign = f"{snr_db:+.0f}".replace("+", "+")
+        fig.savefig(out_dir / f"{cond}_block_comparison_snr{sign}dB.png",
+                    dpi=110)
+        plt.close(fig)
+    print(f"Block-length comparison artifacts written to {out_dir}/")
+
+
 def main() -> None:
     report.banner("MINN SYNCHRONIZATION - DUAL CONDITION ANALYSIS")
     run_simulation(channel_name="cir1", plots_subdir="measured_channel")
     run_simulation(channel_name=None, plots_subdir="flat_awgn")
+    results = compare_block_lengths([512, 1024, 2048])
+    report.banner("BLOCK LENGTH COMPARISON - FLAT AWGN")
+    print(f"{'N':>6} {'Peak':>8} {'NoiseAvg':>10} {'NoiseMax':>10} "
+          f"{'TimingErr':>10} {'Overhead':>9}")
+    for n, r in results.items():
+        print(f"{n:>6d} {r['peak_val']:>8.3f} {r['noise_floor']:>10.4f} "
+              f"{r['noise_max']:>10.4f} {r['timing_error']:>+10d} "
+              f"{r['overhead']:>9d}")
+    plot_block_length_comparison(None)
+    plot_block_length_comparison("cir1")
     report.banner("ALL SIMULATIONS COMPLETE")
 
 

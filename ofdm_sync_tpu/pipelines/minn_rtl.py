@@ -268,11 +268,76 @@ def compare_q_values(
     return out
 
 
+def plot_q_comparison(
+    channel_name: str | None,
+    q_values: tuple[int, ...] = (128, 256, 512),
+    snr_values: tuple[float, ...] = (-5.0, 0.0, 5.0, 10.0),
+    params: MinnRTLParams = DEFAULT_PARAMS,
+) -> None:
+    """Per-SNR overlay of the smoothed Minn-RTL metric for each segment
+    length Q (reference minn_rtl.py:1620-1731; artifact set
+    plots/minn_rtl/q_comparison/)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from pathlib import Path
+
+    sys0 = SYS_30M72
+    cond = "measured_channel" if channel_name else "flat_awgn"
+    out_dir = Path("plots/minn_rtl/q_comparison")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for snr_db in snr_values:
+        fig, ax = plt.subplots(figsize=(11, 5))
+        for Q in q_values:
+            rng = np.random.default_rng(0)
+            p = MinnRTLParams(
+                quarter_len=Q,
+                smooth_shift=params.smooth_shift,
+                threshold_frac_bits=params.threshold_frac_bits,
+                threshold_value=params.threshold_value,
+                hysteresis=params.hysteresis,
+                timing_offset=params.timing_offset,
+                seq_type=params.seq_type,
+            )
+            preamble = build_minn_rtl_preamble(p.seq_type, rng, Q=Q, sys=sys0)
+            setup = common.build_setup(
+                preamble, rng, sys=sys0, channel_name=channel_name,
+                cir_mode="two", snr_db=snr_db, cfo_hz=CFO_HZ, two_frames=True,
+            )
+            state, _ = MinnRTLDetector(sys0, p).detect(setup.rx)
+            sm = np.asarray(state.smooth_metric)
+            ax.plot(sm / max(sm.max(), 1e-12), label=f"Q={Q}", linewidth=0.9)
+        ax.set_title(
+            f"Minn-RTL smoothed metric vs Q - {cond}, SNR {snr_db:+.0f} dB"
+        )
+        ax.set_xlabel("Sample offset")
+        ax.set_ylabel("Normalized smoothed metric")
+        ax.grid(True, alpha=0.4)
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(
+            out_dir / f"{cond}_q_comparison_snr{snr_db:+.0f}dB.png", dpi=110
+        )
+        plt.close(fig)
+    print(f"Q comparison artifacts written to {out_dir}/")
+
+
 def main() -> None:
     report.banner("MINN RTL PREAMBLE SYNCHRONIZATION - DUAL CONDITION ANALYSIS")
     run_simulation(channel_name="cir1", plots_subdir="measured_channel")
     run_simulation(channel_name=None, plots_subdir="flat_awgn")
     run_sequence_comparison(channel_name=None)
+    q_results = compare_q_values([128, 256, 512])
+    report.banner("Q VALUE COMPARISON - FLAT AWGN")
+    print(f"{'Q':>6} {'Peak':>10} {'PAR':>8} {'PMR':>8} "
+          f"{'TimingErr':>10} {'PreLen':>8} {'Overhead%':>10}")
+    for Q, r in q_results.items():
+        print(f"{Q:>6d} {r['peak']:>10.1f} {r['par']:>8.1f} {r['pmr']:>8.1f} "
+              f"{r['timing_error']:>+10d} {r['preamble_len']:>8d} "
+              f"{r['overhead_pct']:>10.2f}")
+    plot_q_comparison(None)
+    plot_q_comparison("cir1")
     report.banner("ALL MINN RTL SIMULATIONS COMPLETE")
 
 
