@@ -421,6 +421,74 @@ def plot_heatmaps(results: list[TestResult]) -> None:
     plt.close(fig)
 
 
+def plot_preamble_design() -> None:
+    """Time/spectrum/autocorrelation views of the three [A][A] preamble
+    lengths (reference sync_aa.py's preamble_design.png artifact)."""
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(
+        3, len(AA_PREAMBLE_LENGTHS), figsize=(5 * len(AA_PREAMBLE_LENGTHS), 9)
+    )
+    for j, total in enumerate(AA_PREAMBLE_LENGTHS):
+        pre, _, papr = build_aa_preamble(total, SYS)
+        L = total // 2
+        axes[0, j].plot(np.abs(pre), linewidth=0.7)
+        axes[0, j].set_title(f"L={L}: |x(t)|, PAPR {papr:.2f} dB")
+        spec = np.fft.fftshift(np.abs(np.fft.fft(pre, SYS.n_fft)))
+        axes[1, j].plot(spec, linewidth=0.7)
+        axes[1, j].set_title("Spectrum magnitude")
+        lag = np.correlate(pre, pre, mode="full")
+        axes[2, j].plot(
+            np.arange(-total + 1, total), np.abs(lag) / np.abs(lag).max(),
+            linewidth=0.7,
+        )
+        axes[2, j].set_title("Autocorrelation (note the lag-L [A][A] peak)")
+        for ax in axes[:, j]:
+            ax.grid(True, alpha=0.4)
+    PLOTS_DIR.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(PLOTS_DIR / "preamble_design.png", dpi=110)
+    plt.close(fig)
+
+
+def plot_metric_zoom_no_noise(total_length: int = 1024) -> None:
+    """Noise-free metric around the plateau: M, |P|^2 and the peak position
+    (reference sync_aa.py's metric_zoom_no_noise.png artifact, illustrating
+    why the peak tracks |P|^2 rather than the flat-topped M)."""
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from ofdm_sync_tpu.ops.metrics import aa_metric
+
+    L = total_length // 2
+    pre, _, _ = build_aa_preamble(total_length, SYS)
+    sig = np.concatenate(
+        [np.zeros(SYS.tx_pre_pad), pre, np.zeros(2 * L)]
+    ).astype(complex)
+    st = aa_metric(jnp.asarray(sig, jnp.complex64), L)
+    M = np.asarray(st.M)
+    p_sq = np.abs(np.asarray(st.P)) ** 2
+    peak = int(np.argmax(p_sq))
+    lo, hi = max(0, peak - 3 * L), min(M.size, peak + 2 * L)
+    fig, (a1, a2) = plt.subplots(2, 1, figsize=(11, 7), sharex=True)
+    a1.plot(range(lo, hi), M[lo:hi], linewidth=0.9)
+    a1.axvline(peak, linestyle="--", linewidth=0.8, color="tab:red")
+    a1.set_ylabel("M = |P|^2 / R^2")
+    a1.set_title(f"Noise-free metric zoom, L={L} (plateau top is flat)")
+    a1.grid(True, alpha=0.4)
+    a2.plot(range(lo, hi), p_sq[lo:hi] / p_sq[peak], linewidth=0.9,
+            color="tab:orange")
+    a2.axvline(peak, linestyle="--", linewidth=0.8, color="tab:red",
+               label=f"peak @ {peak} -> frame start {peak - 2 * L + 1}")
+    a2.set_ylabel("|P|^2 (normalized)")
+    a2.set_xlabel("Sample offset")
+    a2.grid(True, alpha=0.4)
+    a2.legend()
+    PLOTS_DIR.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(PLOTS_DIR / "metric_zoom_no_noise.png", dpi=110)
+    plt.close(fig)
+
+
 def main() -> None:
     report.banner("[A][A] PREAMBLE SYNC - PAPR REPORT")
     for total in AA_PREAMBLE_LENGTHS:
@@ -428,6 +496,8 @@ def main() -> None:
         half = total // 2
         corr = np.vdot(pre[:half], pre[half:]).real / half
         print(f"L={half}: PAPR={papr:.2f} dB, [A][A] corr={corr:.3f}")
+    plot_preamble_design()
+    plot_metric_zoom_no_noise()
     results = run_grid_test()
     print_summary_table(results)
     plot_heatmaps(results)
