@@ -489,6 +489,47 @@ def plot_metric_zoom_no_noise(total_length: int = 1024) -> None:
     plt.close(fig)
 
 
+def plot_plateau_vs_peak(total_length: int = 1024) -> None:
+    """Why the detector peaks on |P|^2 instead of ending the M plateau:
+    with a pilot symbol following the preamble, the M plateau's trailing
+    edge is dragged out by pilot correlation, while the |P|^2 peak stays put
+    (reference sync_aa.py's plateau_vs_peak/plateau_vs_pilot artifacts)."""
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from ofdm_sync_tpu.ops.metrics import aa_metric
+
+    L = total_length // 2
+    rng = np.random.default_rng(0)
+    pre, _, _ = build_aa_preamble(total_length, SYS)
+    pilot, _ = build_aa_qpsk_symbol(rng, SYS)
+    fig, axes = plt.subplots(2, 1, figsize=(11, 7), sharex=True)
+    for ax, (label, tail) in zip(
+        axes,
+        [("preamble then silence", np.zeros(2 * L, complex)),
+         ("preamble then pilot symbol", pilot[: 2 * L])],
+    ):
+        sig = np.concatenate([np.zeros(SYS.tx_pre_pad), pre, tail]).astype(
+            complex
+        )
+        st = aa_metric(jnp.asarray(sig, jnp.complex64), L)
+        M = np.asarray(st.M)
+        p_sq = np.abs(np.asarray(st.P)) ** 2
+        peak = int(np.argmax(p_sq))
+        ax.plot(M, linewidth=0.8, label="M")
+        ax.plot(p_sq / max(p_sq.max(), 1e-12), linewidth=0.8,
+                label="|P|^2 (norm)")
+        ax.axvline(peak, linestyle="--", linewidth=0.8, color="tab:red",
+                   label=f"|P|^2 peak @ {peak}")
+        ax.set_title(label)
+        ax.grid(True, alpha=0.4)
+        ax.legend()
+    axes[1].set_xlabel("Sample offset")
+    PLOTS_DIR.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(PLOTS_DIR / "plateau_vs_peak_comparison.png", dpi=110)
+    plt.close(fig)
+
+
 def main() -> None:
     report.banner("[A][A] PREAMBLE SYNC - PAPR REPORT")
     for total in AA_PREAMBLE_LENGTHS:
@@ -498,6 +539,7 @@ def main() -> None:
         print(f"L={half}: PAPR={papr:.2f} dB, [A][A] corr={corr:.3f}")
     plot_preamble_design()
     plot_metric_zoom_no_noise()
+    plot_plateau_vs_peak()
     results = run_grid_test()
     print_summary_table(results)
     plot_heatmaps(results)
