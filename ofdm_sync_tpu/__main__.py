@@ -36,10 +36,22 @@ def main(argv: list[str] | None = None) -> int:
     for name, help_text in _PIPELINES.items():
         sub.add_parser(name, help=help_text)
     sub.add_parser("bench", help="headline TPU benchmark (one JSON line)")
-    p_cpu = sub.add_parser(
+    sub.add_parser(
         "list", help="list detector families and system parameter sets"
     )
-    del p_cpu
+    p_wave = sub.add_parser(
+        "waveform",
+        help="plot preamble / QPSK symbol / frame views "
+             "(reference ref/ofdm.py:286-331 CLI)",
+    )
+    p_wave.add_argument(
+        "kind",
+        choices=["preamble", "qpsk", "frame", "aa_preamble"],
+        help="waveform to render",
+    )
+    p_wave.add_argument("--out", default="plots/waveforms",
+                        help="output directory")
+    p_wave.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
     if args.command == "bench":
@@ -65,8 +77,62 @@ def main(argv: list[str] | None = None) -> int:
             print(f"model: {cls.__name__}")
         return 0
 
+    if args.command == "waveform":
+        return _waveform_cmd(args)
+
     mod = importlib.import_module(f"ofdm_sync_tpu.pipelines.{args.command}")
     mod.main()
+    return 0
+
+
+def _waveform_cmd(args) -> int:
+    """Render waveform diagnostics (the packaged twin of the reference's
+    ref/ofdm.py argparse demo)."""
+    from pathlib import Path
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from ofdm_sync_tpu.ops import waveforms as W
+    from ofdm_sync_tpu.params import SYS_30M72, SYS_AA_10M
+
+    rng = np.random.default_rng(args.seed)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.kind == "preamble":
+        sig, _ = W.build_hermitian_minn_preamble(SYS_30M72, rng)
+        title = "Minn [A A -A -A] preamble (Hermitian-symmetric values)"
+    elif args.kind == "qpsk":
+        sig, _ = W.build_random_qpsk_symbol(rng, SYS_30M72)
+        title = "Random QPSK OFDM symbol"
+    elif args.kind == "aa_preamble":
+        sig, _, papr = W.build_aa_preamble(1024, SYS_AA_10M)
+        title = f"[A][A] preamble (PAPR {papr:.2f} dB)"
+    else:  # frame
+        pre, _ = W.build_hermitian_minn_preamble(SYS_30M72, rng)
+        pilot, _ = W.build_random_qpsk_symbol(rng, SYS_30M72)
+        data, _ = W.build_random_qpsk_symbol(rng, SYS_30M72)
+        sig = W.assemble_frame(pre, pilot, data, pre_pad=SYS_30M72.tx_pre_pad)
+        title = "Full frame: [guard | preamble | pilot | data]"
+    sig = np.asarray(sig)
+    fig, (a1, a2) = plt.subplots(2, 1, figsize=(11, 6))
+    a1.plot(sig.real, linewidth=0.6, label="I")
+    a1.plot(sig.imag, linewidth=0.6, label="Q")
+    a1.set_title(title)
+    a1.legend()
+    a1.grid(True, alpha=0.4)
+    a2.plot(np.abs(sig), linewidth=0.6)
+    a2.set_title("Magnitude")
+    a2.set_xlabel("Sample")
+    a2.grid(True, alpha=0.4)
+    fig.tight_layout()
+    path = out / f"{args.kind}.png"
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    print(f"{title}: {sig.size} samples -> {path}")
     return 0
 
 

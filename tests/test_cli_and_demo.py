@@ -36,6 +36,14 @@ def test_cli_runs_demo(capsys):
     assert "STO estimate" in out
 
 
+def test_cli_waveform(tmp_path, capsys):
+    for kind in ("preamble", "frame", "aa_preamble"):
+        assert cli_main(["waveform", kind, "--out", str(tmp_path)]) == 0
+        assert (tmp_path / f"{kind}.png").exists()
+    out = capsys.readouterr().out
+    assert "PAPR 3.69 dB" in out  # documented [A][A] figure
+
+
 def test_profiler_trace_context(tmp_path):
     from ofdm_sync_tpu.utils.profiling import trace
 
