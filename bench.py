@@ -113,8 +113,10 @@ def main() -> None:
     if platform in ("cpu",):
         batch, stream_len, iters = 2, 1 << 17, 3
     else:
-        # saturation point measured on v5e: ~743M samples/s at B>=128
-        batch, stream_len, iters = 128, 1 << 18, 10
+        # 2 GB per dispatch: the axon tunnel adds ~1.6-3 ms fixed latency per
+        # jitted call, which at 512 MB payloads costs ~25% of the measured
+        # rate; 2 GB amortizes it below 5% (measured 2026-08-16)
+        batch, stream_len, iters = 512, 1 << 18, 6
 
     try:
         sps, dt, lat_ms = _run(batch, stream_len, iters)

@@ -89,8 +89,10 @@ def _aa_kernel(
     br = ext.shape[0] // 2
 
     # P = sum_window x[n] conj(x[n-L]) (reference sync_aa.py:463-481);
-    # zero-filled history reproduces the RTL delay-line priming.
-    ext_d = common.shiftz(ext, L)
+    # zero-filled history reproduces the RTL delay-line priming.  The L-delay
+    # is an unmasked wrap-roll and the ladders are guarded: total garbage
+    # stays < L + (L - 1) < 2L <= H, inside the discarded ext head.
+    ext_d = common.roll(ext, L)
     swapped_d = jnp.concatenate([ext_d[br:], ext_d[:br]], axis=0)
     lead = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
     sign = jnp.where(lead < br, jnp.float32(-1.0), jnp.float32(1.0))
@@ -98,9 +100,9 @@ def _aa_kernel(
     pim = jnp.sum(sign * ext * swapped_d, axis=0)
     pw = jnp.sum(ext * ext, axis=0)
 
-    P_re = common.window_sum(pre, L)[..., H:]  # (NB, B)
-    P_im = common.window_sum(pim, L)[..., H:]
-    R = common.window_sum(pw, L)[..., H:]
+    P_re = common.window_sum_guarded(pre, L, guard=H)[..., H:]  # (NB, B)
+    P_im = common.window_sum_guarded(pim, L, guard=H)[..., H:]
+    R = common.window_sum_guarded(pw, L, guard=H)[..., H:]
 
     gi = it * B + jax.lax.broadcasted_iota(jnp.int32, P_re.shape, 1)
     valid = gi >= L

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
@@ -62,6 +63,77 @@ def window_sum(x: jax.Array, window: int) -> jax.Array:
         if k + 1 < maxbit:
             s = s + shiftz(s, 1 << k)
     return out
+
+
+def roll(x: jax.Array, d: int) -> jax.Array:
+    """Wrap-around lane shift: ``y[..., n] = x[..., (n - d) % N]``.
+
+    One VPU pass -- no fill mask, unlike `shiftz`.  Lanes ``n < d`` receive
+    the wrapped row tail; only safe when the caller never reads those lanes
+    (the H-long overlap-save head every ext-buffer kernel slices off)."""
+    if d == 0:
+        return x
+    return pltpu.roll(x, d, axis=x.ndim - 1)
+
+
+def window_sum_guarded(x: jax.Array, window: int, *, guard: int) -> jax.Array:
+    """`window_sum` built from unmasked wrap-rolls.
+
+    Output lanes ``>= window - 1`` (plus however many leading input lanes
+    were already garbage) are exact; lanes below that hold wrapped garbage.
+    `guard` is the count of leading lanes the caller discards (the ext
+    history head H) and must cover the garbage region.  Cuts the sub-lane
+    shift cost from roll+iota+select to a single roll per step, which is
+    material: the fused detectors are VPU-pass-bound, not HBM-bound."""
+    assert window >= 1
+    assert guard >= window - 1, (guard, window)
+    out = None
+    s = x
+    offset = 0
+    maxbit = window.bit_length()
+    for k in range(maxbit):
+        if (window >> k) & 1:
+            contrib = roll(s, offset)
+            out = contrib if out is None else out + contrib
+            offset += 1 << k
+        if k + 1 < maxbit:
+            s = s + roll(s, 1 << k)
+    return out
+
+
+def const_decay_scan(v: jax.Array, decay: float) -> jax.Array:
+    """Inclusive first-order IIR scan ``y[n] = sum_{j<=n} decay^(n-j) v[j]``
+    along lanes, for a CONSTANT coefficient (the threshold-smoothing IIR
+    with the warm-up freeze folded into a masked `v`).
+
+    Log-depth doubling with two cost cuts over the naive masked ladder:
+      * sub-lane steps (d < LANE) run as unmasked wrap-rolls over a LANE-wide
+        zero guard prefix.  The wrap garbage stays strictly behind the lanes
+        any real output reads (cumulative sub-lane corruption < LANE - 1),
+        and the guard is re-zeroed in one select before the lane-aligned
+        steps, whose zero-fill `shiftz` is exact from then on.
+      * steps whose ``decay**step`` underflows to 0.0f are exact no-ops
+        (``y += shifted * 0.0``) and are skipped -- for the reference's
+        smooth_shift=3 (decay 7/8) that caps the ladder at step 512.
+    Bit-identical to the masked ladder on every output lane."""
+    n = v.shape[-1]
+    guard = LANE
+    y = jnp.concatenate(
+        [jnp.zeros(v.shape[:-1] + (guard,), v.dtype), v], axis=-1
+    )
+    step = 1
+    while step < guard and step < n and np.float32(decay**step) != 0.0:
+        y = roll(y, step) * jnp.asarray(decay**step, v.dtype) + y
+        step *= 2
+    if step < n and np.float32(decay**step) != 0.0:
+        lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
+        y = jnp.where(lane >= guard, y, jnp.zeros_like(y))
+        while step < n and np.float32(decay**step) != 0.0:
+            y = shiftz(y, step, fill=0.0) * jnp.asarray(
+                decay**step, v.dtype
+            ) + y
+            step *= 2
+    return y[..., guard:]
 
 
 def affine_scan(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:

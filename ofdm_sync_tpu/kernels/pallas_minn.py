@@ -48,7 +48,6 @@ from ofdm_sync_tpu.kernels.streaming import MinnRTLFastState
 _LANE = common.LANE
 _round_up = common.round_up
 _shiftz = common.shiftz
-_window_sum = common.window_sum
 
 
 def _init_decay(dec_ref, alpha: float) -> None:
@@ -92,14 +91,17 @@ def _metric_block(
     # antennas, reference ref/minn_preamble_detector.sv:247-260; the I/Q plane
     # sum is the real part of x * conj(x_delayed)) -- the window sums are
     # linear, so combining early quarters the VPU work.
-    u = jnp.sum(ext * _shiftz(ext, Q), axis=0)  # (NB, H+B) quarter product
+    # The Q-delay is an unmasked wrap-roll: its garbage lanes (< Q) only ever
+    # reach window outputs < 3Q - 1 <= H, all inside the discarded ext head.
+    u = jnp.sum(ext * common.roll(ext, Q), axis=0)  # (NB, H+B) quarter prod
     p = jnp.sum(ext * ext, axis=0)  # (NB, H+B) instantaneous power
 
     # corr + its Q-delayed tap is just a 2Q window sum of u; energy's three
     # taps are a 3Q window sum of p (the window sums are linear) -- one
-    # ladder each instead of ladder + explicit taps.
-    corr_total = _window_sum(u, 2 * Q)
-    energy_total = _window_sum(p, 3 * Q)
+    # ladder each instead of ladder + explicit taps.  Guarded (wrap-roll)
+    # ladders: total garbage < Q + (2Q - 1) resp. 3Q - 1, both <= H.
+    corr_total = common.window_sum_guarded(u, 2 * Q, guard=H)
+    energy_total = common.window_sum_guarded(p, 3 * Q, guard=H)
 
     corr_pos = jnp.maximum(corr_total[..., H:], 0.0)  # (NB, B)
     energy_out = energy_total[..., H:]
@@ -114,11 +116,7 @@ def _metric_block(
     # (half the work of the general affine scan), plus the precomputed decay
     # vector for the carried register.
     Bv = jnp.where(valid, jnp.float32(alpha) * corr_pos, jnp.float32(0.0))
-    step = 1
-    decay = 1.0 - alpha
-    while step < B:
-        Bv = _shiftz(Bv, step, fill=0.0) * jnp.float32(decay ** step) + Bv
-        step *= 2
+    Bv = common.const_decay_scan(Bv, 1.0 - alpha)
     carry_in = carry_ref[..., :1]  # (NB, 1)
     smooth = dec_ref[...] * carry_in + Bv
     carry_ref[...] = jnp.broadcast_to(smooth[..., -1:], carry_ref.shape)

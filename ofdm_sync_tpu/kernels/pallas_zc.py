@@ -77,7 +77,8 @@ def _zc_kernel(
     ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (NB, H+B)
     hist_ref[...] = ext[..., -H:]
 
-    local_sum = common.window_sum(ext, W)[..., H:]  # (NB, B)
+    # guarded (wrap-roll) ladder: garbage < W - 1 <= H, sliced off here
+    local_sum = common.window_sum_guarded(ext, W, guard=H)[..., H:]  # (NB, B)
     gi = it * B + jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     valid = gi >= W
     above = (
