@@ -44,10 +44,13 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
     from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
 
     # generate stimulus ON DEVICE: the axon tunnel moves host data at
-    # ~18 MB/s, so host-side generation would dominate the bench
+    # ~18 MB/s, so host-side generation would dominate the bench.  Generated
+    # directly in the kernels' channel-leading (2*BR, batch, L) layout -- a
+    # production receiver keeps streams in the framework-native layout, and
+    # the natural-layout path pays a full HBM transpose per call (~30%).
     x = jax.jit(
         lambda k: jax.random.normal(
-            k, (batch, BRANCHES, 2, stream_len), jnp.float32
+            k, (BRANCHES * 2, batch, stream_len), jnp.float32
         )
     )(jax.random.key(0))
     x.block_until_ready()
@@ -61,20 +64,25 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
     )
 
     def one(stream):
-        state, table = minn_rtl_detect_planar(stream, **kw)
+        # stream: (2*BR, L) channel-leading rows [b0_i, b0_q, b1_i, b1_q]
+        state, table = minn_rtl_detect_planar(
+            stream.reshape(BRANCHES, 2, -1), **kw
+        )
         # return compact results so the full metric arrays never leave HBM
         return table.peak_idx, table.count, jnp.sum(state.smooth_metric)
 
     def batched_pallas(v):
         # fully-fused kernel: IQ in, event table out, zero full-length HBM
         # round trips (metric + gate FSM stay in VMEM)
-        table = minn_rtl_detect_fused_pallas(v, **kw, block=16384)
+        table = minn_rtl_detect_fused_pallas(
+            v, **kw, block=16384, channel_leading=True
+        )
         return table.peak_idx, table.count, jnp.sum(table.peak_value)
 
     if use_pallas:
         fn = jax.jit(batched_pallas)
     else:
-        fn = jax.jit(jax.vmap(one))
+        fn = jax.jit(jax.vmap(one, in_axes=1))
 
     def sync(out):
         # block_until_ready can return early through the axon tunnel; a
@@ -86,9 +94,9 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
 
     # p50 detection latency for one stream (fetch-synced)
     lat_fn = jax.jit(one) if not use_pallas else jax.jit(
-        lambda s: batched_pallas(s[None])
+        lambda s: batched_pallas(s[:, None])
     )
-    x1 = x[0]
+    x1 = x[:, 0]
     sync(lat_fn(x1))
     lats = []
     for _ in range(5):
@@ -162,12 +170,14 @@ def _secondary_kernels(batch: int, stream_len: int) -> None:
     try:
         x = jax.jit(
             lambda k: jax.random.normal(
-                k, (batch, BRANCHES, 2, stream_len), jnp.float32
+                k, (BRANCHES * 2, batch, stream_len), jnp.float32
             )
         )(jax.random.key(1))
         x.block_until_ready()
         fn = jax.jit(
-            lambda v: aa_detect_fused_pallas(v, half_len=512, block=16384)[0]
+            lambda v: aa_detect_fused_pallas(
+                v, half_len=512, block=16384, channel_leading=True
+            )[0]
         )
         out = fn(x)
         int(np.asarray(out.count).sum())

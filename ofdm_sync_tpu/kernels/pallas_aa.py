@@ -147,6 +147,7 @@ def _aa_kernel(
         "emit_unclosed",
         "block",
         "batch_tile",
+        "channel_leading",
         "interpret",
     ),
 )
@@ -161,11 +162,15 @@ def aa_detect_fused_pallas(
     emit_unclosed: bool = True,
     block: int = 4096,
     batch_tile: int = 8,
+    channel_leading: bool = False,
     interpret: bool | None = None,
 ):
     """Fully-fused [A][A] detection on planar float32 IQ.
 
-    iq: (batch, branches, 2, L) or unbatched (branches, 2, L).
+    iq: (batch, branches, 2, L) or unbatched (branches, 2, L); with
+    `channel_leading=True`, the kernel-native plane-major
+    (2*branches, batch, L) layout -- rows [all I branches | all Q branches]
+    -- which skips a full HBM transpose per call.
     Returns (GateEvents, P_at_peak, M_at_peak) with leading batch axes --
     everything a receiver needs for timing (peak - 2L + 1) and CFO
     (angle(P) fs / (2 pi L)).  P_at_peak is PLANAR float32 (..., 2, E)
@@ -179,27 +184,31 @@ def aa_detect_fused_pallas(
     if max_events > _LANE:
         raise ValueError(f"max_events must be <= {_LANE}")
 
-    squeeze = iq.ndim == 3
-    if squeeze:
-        iq = iq[None]
-    batch, branches, planes, L_sig = iq.shape
-    assert planes == 2, "expected planar (..., 2, L) IQ"
     L = half_len
+    if channel_leading:
+        assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
+        C, batch, L_sig = iq.shape
+        x, squeeze = iq.astype(jnp.float32), False
+    else:
+        squeeze = iq.ndim == 3
+        if squeeze:
+            iq = iq[None]
+        batch, branches, planes, L_sig = iq.shape
+        assert planes == 2, "expected planar (..., 2, L) IQ"
+        # plane-major rows: [all I rows | all Q rows], channel leading
+        x = iq.astype(jnp.float32).transpose(2, 1, 0, 3).reshape(
+            2 * branches, batch, L_sig
+        )
+        C = 2 * branches
 
-    # plane-major rows: (batch, 2*branches, L) = [all I rows | all Q rows]
-    x = iq.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
-        batch, 2 * branches, L_sig
-    )
-    C = 2 * branches
     B = min(block, common.round_up(L_sig, _LANE))
     Lp = common.round_up(L_sig, B)
     NB = common.round_up(min(batch_tile, batch), 8)
     Np = common.round_up(batch, NB)
     H = common.round_up(max(2 * L, _LANE), _LANE)
     if Lp != L_sig or Np != batch:
-        xp = jnp.zeros((Np, C, Lp), jnp.float32)
-        x = xp.at[:batch, :, :L_sig].set(x)
-    x = x.transpose(1, 0, 2)  # (C, Np, Lp): channel rows leading (see kernel)
+        xp = jnp.zeros((C, Np, Lp), jnp.float32)
+        x = xp.at[:, :batch, :L_sig].set(x)
 
     kernel = functools.partial(
         _aa_kernel,

@@ -172,6 +172,32 @@ def _minn_kernel(
     above_ref[...] = above.astype(jnp.uint8)
 
 
+def _to_channel_leading(iq, *, expect_planes=2):
+    """Normalize detector input to the kernels' native channel-leading
+    (C, batch, L) planar float32 layout.
+
+    Accepts (batch, branches, 2, L) / (branches, 2, L) natural layouts (a
+    full HBM transpose per call -- ~30% of kernel wall at 2 GB payloads), or
+    an already channel-leading (C, batch, L) array tagged by the caller via
+    `channel_leading=True`, which is free.  Returns (x, batch, L, squeeze).
+    """
+    squeeze = iq.ndim == 3
+    if squeeze:
+        iq = iq[None]
+    batch, branches, planes, L = iq.shape
+    assert planes == expect_planes, "expected planar (..., 2, L) IQ"
+    x = iq.astype(jnp.float32).reshape(batch, branches * planes, L)
+    return x.transpose(1, 0, 2), batch, L, squeeze
+
+
+def _pad_channel_leading(x, Np, Lp):
+    C, batch, L = x.shape
+    if Np != batch or Lp != L:
+        xp = jnp.zeros((C, Np, Lp), jnp.float32)
+        x = xp.at[:, :batch, :L].set(x)
+    return x
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -181,6 +207,7 @@ def _minn_kernel(
         "threshold_frac_bits",
         "block",
         "batch_tile",
+        "channel_leading",
         "interpret",
     ),
 )
@@ -193,11 +220,14 @@ def minn_rtl_metric_planar_pallas(
     threshold_frac_bits: int,
     block: int = 4096,
     batch_tile: int = 8,
+    channel_leading: bool = False,
     interpret: bool | None = None,
 ) -> MinnRTLFastState:
     """Fused-kernel equivalent of `streaming.minn_rtl_metric_planar`.
 
-    iq: (batch, branches, 2, L) or (branches, 2, L) planar float32.
+    iq: (batch, branches, 2, L) or (branches, 2, L) planar float32; with
+    `channel_leading=True`, the kernel-native (2*branches, batch, L) layout
+    (rows [b0_i, b0_q, b1_i, b1_q]), which skips a full HBM transpose.
     Returns MinnRTLFastState with per-stream (batch, L) arrays (or (L,) when
     unbatched); `above_threshold` is bool.  Matches the XLA path up to float
     reassociation of the window sums (tests assert tight tolerances).
@@ -205,17 +235,16 @@ def minn_rtl_metric_planar_pallas(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    squeeze = iq.ndim == 3
-    if squeeze:
-        iq = iq[None]
-    batch, branches, planes, L = iq.shape
-    assert planes == 2, "expected planar (..., 2, L) IQ"
+    if channel_leading:
+        assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
+        _, batch, L = iq.shape
+        x, squeeze = iq.astype(jnp.float32), False
+    else:
+        x, batch, L, squeeze = _to_channel_leading(iq)
     Q = quarter_len
     valid_from = max(0, 3 * Q - 1)
     alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
-
-    C = branches * planes
-    x = iq.astype(jnp.float32).reshape(batch, C, L)
+    C = x.shape[0]
 
     B = min(block, _round_up(L, _LANE))
     Lp = _round_up(L, B)
@@ -225,10 +254,7 @@ def minn_rtl_metric_planar_pallas(
     Np = _round_up(batch, NB)
     H = _round_up(max(3 * Q, _LANE), _LANE)
 
-    if Lp != L or Np != batch:
-        xp = jnp.zeros((Np, C, Lp), jnp.float32)
-        x = xp.at[:batch, :, :L].set(x)
-    x = x.transpose(1, 0, 2)  # (C, Np, Lp): channel rows leading (see kernel)
+    x = _pad_channel_leading(x, Np, Lp)
     n_time = Lp // B
     n_batch = Np // NB
 
@@ -385,6 +411,7 @@ def _detect_kernel(
         "emit_unclosed",
         "block",
         "batch_tile",
+        "channel_leading",
         "interpret",
     ),
 )
@@ -401,13 +428,16 @@ def minn_rtl_detect_fused_pallas(
     emit_unclosed: bool = False,
     block: int = 4096,
     batch_tile: int = 8,
+    channel_leading: bool = False,
     interpret: bool | None = None,
 ):
     """Fully-fused Minn-RTL detection: IQ in, GateEvents out, nothing else
     touches HBM.  Semantically identical to `minn_rtl_metric_planar_pallas`
     followed by `ops.detect.extract_gate_events` (tests assert equality).
 
-    iq: (batch, branches, 2, L) planar float32 (or unbatched (branches, 2, L)).
+    iq: (batch, branches, 2, L) planar float32 (or unbatched
+    (branches, 2, L)); with `channel_leading=True`, the kernel-native
+    (2*branches, batch, L) layout (see `minn_rtl_metric_planar_pallas`).
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 
@@ -416,26 +446,23 @@ def minn_rtl_detect_fused_pallas(
     if max_events > _LANE:
         raise ValueError(f"max_events must be <= {_LANE}")
 
-    squeeze = iq.ndim == 3
-    if squeeze:
-        iq = iq[None]
-    batch, branches, planes, L = iq.shape
-    assert planes == 2, "expected planar (..., 2, L) IQ"
+    if channel_leading:
+        assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
+        _, batch, L = iq.shape
+        x, squeeze = iq.astype(jnp.float32), False
+    else:
+        x, batch, L, squeeze = _to_channel_leading(iq)
     Q = quarter_len
     valid_from = max(0, 3 * Q - 1)
     alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
 
-    C = branches * planes
-    x = iq.astype(jnp.float32).reshape(batch, C, L)
+    C = x.shape[0]
     B = min(block, _round_up(L, _LANE))
     Lp = _round_up(L, B)
     NB = _round_up(min(batch_tile, batch), 8)
     Np = _round_up(batch, NB)
     H = _round_up(max(3 * Q, _LANE), _LANE)
-    if Lp != L or Np != batch:
-        xp = jnp.zeros((Np, C, Lp), jnp.float32)
-        x = xp.at[:batch, :, :L].set(x)
-    x = x.transpose(1, 0, 2)  # (C, Np, Lp): channel rows leading (see kernel)
+    x = _pad_channel_leading(x, Np, Lp)
 
     kernel = functools.partial(
         _detect_kernel,

@@ -5,6 +5,7 @@ Reference behavior: sync_aa.py:421-571 (metric, gate at M>=0.15, peak on
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
@@ -106,3 +107,18 @@ def test_aa_fused_batched(rng):
         assert int(table.count[s]) >= 1
         peak = int(np.asarray(table.peak_idx)[s, 0])
         assert abs((peak - 255) - (1500 + 400 * s)) <= 2
+
+
+def test_aa_channel_leading_layout_matches_natural(rng):
+    """Plane-major channel-leading input ((2*BR, batch, L), rows
+    [all I branches | all Q branches]) is bit-identical to the natural
+    (batch, BR, 2, L) layout path."""
+    batch, L_half, L = 2, 64, 2000
+    iq = rng.standard_normal((batch, 2, 2, L)).astype(np.float32)
+    cl = jnp.asarray(iq.transpose(2, 1, 0, 3).reshape(4, batch, L))
+    ta = aa_detect_fused_pallas(jnp.asarray(iq), half_len=L_half, block=512)
+    tb = aa_detect_fused_pallas(
+        cl, half_len=L_half, block=512, channel_leading=True
+    )
+    for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -177,3 +177,33 @@ def test_fused_detect_gate_spanning_blocks(rng):
     )
     _assert_tables_equal(ref, out)
     assert int(out.count[0]) >= 1
+
+
+def test_channel_leading_layout_matches_natural(rng):
+    """`channel_leading=True` input ((2*BR, batch, L), rows
+    [b0_i, b0_q, b1_i, b1_q]) produces identical outputs to the natural
+    (batch, BR, 2, L) layout -- it is the same kernel minus the per-call
+    HBM transpose."""
+    batch, Q, L = 3, 16, 1500
+    iq = rng.standard_normal((batch, 2, 2, L)).astype(np.float32)
+    cl = jnp.asarray(iq.reshape(batch, 4, L).transpose(1, 0, 2))
+    a = minn_rtl_metric_planar_pallas(
+        jnp.asarray(iq), quarter_len=Q, **KW, block=512
+    )
+    b = minn_rtl_metric_planar_pallas(
+        cl, quarter_len=Q, **KW, block=512, channel_leading=True
+    )
+    for name in ("corr_positive", "smooth_metric", "energy_total",
+                 "above_threshold"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name,
+        )
+    ta = minn_rtl_detect_fused_pallas(
+        jnp.asarray(iq), quarter_len=Q, **KW, hysteresis=2, block=512
+    )
+    tb = minn_rtl_detect_fused_pallas(
+        cl, quarter_len=Q, **KW, hysteresis=2, block=512,
+        channel_leading=True,
+    )
+    _assert_tables_equal(ta, tb)
