@@ -151,24 +151,39 @@ def affine_scan(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     return A, B
 
 
+def _ladder_guarded(x: jax.Array, combine, fill) -> jax.Array:
+    """Inclusive lane scan of an associative `combine` with identity `fill`,
+    log-depth doubling.  Sub-lane steps run as unmasked wrap-rolls over a
+    LANE-wide identity-filled guard prefix (one roll instead of
+    roll+iota+select); the guard's wrap corruption (< LANE - 1 lanes) stays
+    strictly behind every real read, and is reset in one select before the
+    lane-aligned zero/identity-fill steps.  Exact on all real lanes."""
+    n = x.shape[-1]
+    guard = LANE
+    y = jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (guard,), fill, x.dtype), x], axis=-1
+    )
+    d = 1
+    while d < guard and d < n:
+        y = combine(y, roll(y, d))
+        d *= 2
+    if d < n:
+        lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
+        y = jnp.where(lane >= guard, y, jnp.full_like(y, fill))
+        while d < n:
+            y = combine(y, shiftz(y, d, fill=fill))
+            d *= 2
+    return y[..., guard:]
+
+
 def ladder_max(x: jax.Array, fill) -> jax.Array:
     """Inclusive running max along lanes (log-depth doubling)."""
-    d = 1
-    n = x.shape[-1]
-    while d < n:
-        x = jnp.maximum(x, shiftz(x, d, fill=fill))
-        d *= 2
-    return x
+    return _ladder_guarded(x, jnp.maximum, fill)
 
 
 def ladder_sum(x: jax.Array) -> jax.Array:
     """Inclusive running sum along lanes (log-depth doubling)."""
-    d = 1
-    n = x.shape[-1]
-    while d < n:
-        x = x + shiftz(x, d, fill=0)
-        d *= 2
-    return x
+    return _ladder_guarded(x, lambda a, b: a + b, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -250,58 +265,77 @@ def event_update(
 
         lane = jax.lax.broadcasted_iota(jnp.int32, tstart_ref.shape, 1)
         neg_inf = jnp.float32(NEG_INF)
+        # Skip slot iterations whose cluster id does not occur in this block
+        # (the reductions below would all be identity updates).  A typical
+        # gate-active block holds one cluster, so this predication removes
+        # ~(max_events - 1)/max_events of the event machinery's VPU work.
+        cid_rel = jnp.where(in_gate, cluster_id, jnp.int32(0))
+        cmax_blk = jnp.max(cid_rel)
+        cmin_blk = jnp.min(
+            jnp.where(in_gate, cluster_id, jnp.int32(I32_MAX))
+        )
         for c in range(1, max_events + 1):
-            m = in_gate & (cluster_id == c)
-            bstart = jnp.min(
-                jnp.where(m, gi, jnp.int32(I32_MAX)), axis=-1, keepdims=True
-            )
-            bpv = jnp.max(jnp.where(m, track, neg_inf), axis=-1, keepdims=True)
-            is_peak = m & (track == bpv)
-            if tie_last:
-                bidx = jnp.max(
-                    jnp.where(is_peak, gi, jnp.int32(-1)), axis=-1, keepdims=True
+
+            @pl.when((jnp.int32(c) >= cmin_blk) & (jnp.int32(c) <= cmax_blk))
+            def _(c=c):
+                m = in_gate & (cluster_id == c)
+                bstart = jnp.min(
+                    jnp.where(m, gi, jnp.int32(I32_MAX)), axis=-1,
+                    keepdims=True,
                 )
-            else:
-                bidx = jnp.min(
-                    jnp.where(is_peak, gi, jnp.int32(I32_MAX)),
+                bpv = jnp.max(
+                    jnp.where(m, track, neg_inf), axis=-1, keepdims=True
+                )
+                is_peak = m & (track == bpv)
+                if tie_last:
+                    bidx = jnp.max(
+                        jnp.where(is_peak, gi, jnp.int32(-1)), axis=-1,
+                        keepdims=True,
+                    )
+                else:
+                    bidx = jnp.min(
+                        jnp.where(is_peak, gi, jnp.int32(I32_MAX)),
+                        axis=-1,
+                        keepdims=True,
+                    )
+                blast = jnp.max(
+                    jnp.where(above & (cluster_id == c), gi, jnp.int32(-1)),
                     axis=-1,
                     keepdims=True,
                 )
-            blast = jnp.max(
-                jnp.where(above & (cluster_id == c), gi, jnp.int32(-1)),
-                axis=-1,
-                keepdims=True,
-            )
-            sel = lane == (c - 1)
-            tstart_ref[...] = jnp.where(
-                sel, jnp.minimum(tstart_ref[...], bstart), tstart_ref[...]
-            )
-            tlast_ref[...] = jnp.where(
-                sel, jnp.maximum(tlast_ref[...], blast), tlast_ref[...]
-            )
-            # cross-block peak merge: later blocks win ties for tie='last'
-            # (they come later in stream order); earlier keep for 'first'
-            cur_pv = tpval_ref[...]
-            if tie_last:
-                take = (bpv > cur_pv) | ((bpv == cur_pv) & (bpv > neg_inf))
-            else:
-                take = bpv > cur_pv
-            tpval_ref[...] = jnp.where(sel, jnp.maximum(cur_pv, bpv), cur_pv)
-            tpidx_ref[...] = jnp.where(
-                sel & take, jnp.broadcast_to(bidx, tpidx_ref.shape),
-                tpidx_ref[...],
-            )
-            # capture side-channel values at the peak sample (unique gi)
-            at_peak = gi == bidx
-            for arr, ref in zip(extras, extra_refs):
-                val = jnp.sum(
-                    jnp.where(at_peak & m, arr, jnp.zeros_like(arr)),
-                    axis=-1,
-                    keepdims=True,
+                sel = lane == (c - 1)
+                tstart_ref[...] = jnp.where(
+                    sel, jnp.minimum(tstart_ref[...], bstart), tstart_ref[...]
                 )
-                ref[...] = jnp.where(
-                    sel & take, jnp.broadcast_to(val, ref.shape), ref[...]
+                tlast_ref[...] = jnp.where(
+                    sel, jnp.maximum(tlast_ref[...], blast), tlast_ref[...]
                 )
+                # cross-block peak merge: later blocks win ties for
+                # tie='last' (they come later in stream order); earlier
+                # keep for 'first'
+                cur_pv = tpval_ref[...]
+                if tie_last:
+                    take = (bpv > cur_pv) | ((bpv == cur_pv) & (bpv > neg_inf))
+                else:
+                    take = bpv > cur_pv
+                tpval_ref[...] = jnp.where(
+                    sel, jnp.maximum(cur_pv, bpv), cur_pv
+                )
+                tpidx_ref[...] = jnp.where(
+                    sel & take, jnp.broadcast_to(bidx, tpidx_ref.shape),
+                    tpidx_ref[...],
+                )
+                # capture side-channel values at the peak sample (unique gi)
+                at_peak = gi == bidx
+                for arr, ref in zip(extras, extra_refs):
+                    val = jnp.sum(
+                        jnp.where(at_peak & m, arr, jnp.zeros_like(arr)),
+                        axis=-1,
+                        keepdims=True,
+                    )
+                    ref[...] = jnp.where(
+                        sel & take, jnp.broadcast_to(val, ref.shape), ref[...]
+                    )
 
         la_fin = last_above[..., -1:]
         cnt_fin = cluster_id[..., -1:]
