@@ -376,6 +376,121 @@ def sharded_minn_rtl_planar(
     return fn(iq)
 
 
+def _cross_shard_event_merge(
+    above: jax.Array,
+    track: jax.Array,
+    gi_b: jax.Array,
+    *,
+    h: int,
+    E: int,
+    n: int,
+    tie_last: bool,
+    emit_unclosed: bool,
+    axis_name: str = "seq",
+):
+    """Closed-form gate/peak event extraction with the cluster state merged
+    across `axis_name` shards (call INSIDE shard_map).
+
+    above/track/gi_b: (..., block) per-shard boolean gate input, peak-tracked
+    value, and global sample indices.  Returns the 8 GateEvents fields
+    (valid, closed, gate_start, gate_close, peak_idx, peak_value, count,
+    overflow), replicated over the shard axis.
+
+    Same closed form as the fused kernels (gates = above-clusters with gaps
+    <= h, reference minn_rtl.py:750-825): the only cross-shard state is
+    (last-above index, #clusters), combined with exclusive scans over
+    all-gathered per-shard summaries; per-slot reductions combine with
+    pmin/pmax over ICI.  Peak ties resolve globally ('last' -> highest index
+    among value ties, as the RTL's >= update).
+    """
+    I32_MAX = jnp.iinfo(jnp.int32).max
+    NEG_INF = jnp.float32(-jnp.inf)
+    sidx = jax.lax.axis_index(axis_name)
+
+    above_idx = jnp.where(above, gi_b, jnp.int32(-1))
+    la_local = jax.lax.cummax(above_idx, axis=above_idx.ndim - 1)
+    la_final = la_local[..., -1]
+    la_all = jax.lax.all_gather(la_final, axis_name)  # (n_seq, B_loc)
+    la_run = jax.lax.associative_scan(jnp.maximum, la_all, axis=0)
+    carry_la = jnp.where(
+        sidx > 0,
+        la_run[jnp.maximum(sidx - 1, 0)],
+        jnp.full_like(la_final, -1),
+    )[..., None]
+    last_above = jnp.maximum(la_local, carry_la)
+    prev_above = jnp.maximum(
+        jnp.concatenate(
+            [jnp.full_like(la_local[..., :1], -1), la_local[..., :-1]],
+            axis=-1,
+        ),
+        carry_la,
+    )
+    new_cluster = above & ((prev_above < 0) | (gi_b - prev_above > h))
+    counts = jnp.sum(new_cluster.astype(jnp.int32), axis=-1)
+    counts_all = jax.lax.all_gather(counts, axis_name)
+    counts_run = jnp.cumsum(counts_all, axis=0)
+    carry_count = jnp.where(
+        sidx > 0,
+        counts_run[jnp.maximum(sidx - 1, 0)],
+        jnp.zeros_like(counts),
+    )[..., None]
+    cluster_id = carry_count + jnp.cumsum(
+        new_cluster.astype(jnp.int32), axis=-1
+    )
+    in_gate = (last_above >= 0) & (gi_b - last_above <= h) & (cluster_id >= 1)
+
+    total = carry_count[..., 0] + counts  # identical on last shard
+    total = jax.lax.pmax(total, axis_name)
+
+    starts, lasts, pidxs, pvals = [], [], [], []
+    for c in range(1, E + 1):
+        m = in_gate & (cluster_id == c)
+        bstart = jnp.min(jnp.where(m, gi_b, jnp.int32(I32_MAX)), axis=-1)
+        bstart = jax.lax.pmin(bstart, axis_name)
+        blast = jnp.max(
+            jnp.where(above & (cluster_id == c), gi_b, jnp.int32(-1)),
+            axis=-1,
+        )
+        blast = jax.lax.pmax(blast, axis_name)
+        lpv = jnp.max(jnp.where(m, track, NEG_INF), axis=-1)
+        gpv = jax.lax.pmax(lpv, axis_name)
+        is_peak = m & (track == gpv[..., None])
+        if tie_last:
+            lidx = jnp.max(jnp.where(is_peak, gi_b, jnp.int32(-1)), axis=-1)
+            gidx_pk = jax.lax.pmax(lidx, axis_name)
+        else:
+            lidx = jnp.min(
+                jnp.where(is_peak, gi_b, jnp.int32(I32_MAX)), axis=-1
+            )
+            gidx_pk = jax.lax.pmin(lidx, axis_name)
+        starts.append(bstart)
+        lasts.append(blast)
+        pidxs.append(gidx_pk)
+        pvals.append(gpv)
+
+    gate_start = jnp.stack(starts, axis=-1)  # (B_loc, E)
+    last_seg = jnp.stack(lasts, axis=-1)
+    peak_idx = jnp.stack(pidxs, axis=-1)
+    peak_val = jnp.stack(pvals, axis=-1)
+
+    slots = jnp.arange(E, dtype=jnp.int32)
+    exists = slots[None, :] < jnp.minimum(total, E)[..., None]
+    close_raw = last_seg + h
+    closed = (close_raw <= n - 1) & exists
+    valid = exists if emit_unclosed else (exists & closed)
+    z = jnp.int32(0)
+    return (
+        valid,
+        closed,
+        jnp.where(exists, gate_start, z),
+        jnp.where(exists, jnp.clip(close_raw, 0, n - 1), z),
+        jnp.where(exists, peak_idx, z),
+        jnp.where(exists, peak_val, jnp.float32(0.0)),
+        jnp.sum(valid.astype(jnp.int32), axis=-1),
+        total > E,
+    )
+
+
 def sharded_minn_rtl_detect(
     iq: jax.Array,
     mesh: Mesh,
@@ -418,8 +533,6 @@ def sharded_minn_rtl_detect(
     h = max(int(hysteresis), 1)
     E = max_events
     tie_last = tie == "last"
-    I32_MAX = jnp.iinfo(jnp.int32).max
-    NEG_INF = jnp.float32(-jnp.inf)
 
     def shard_fn(blk):
         # ---- metric (identical math to sharded_minn_rtl_planar) ----
@@ -456,95 +569,117 @@ def sharded_minn_rtl_detect(
         )
 
         # ---- cross-shard event merge ----
-        track = corr_pos
         gi_b = jnp.broadcast_to(gi, above.shape)
-        above_idx = jnp.where(above, gi_b, jnp.int32(-1))
-        la_local = jax.lax.cummax(above_idx, axis=above_idx.ndim - 1)
-        la_final = la_local[..., -1]
-        la_all = jax.lax.all_gather(la_final, "seq")  # (n_seq, B_loc)
-        la_run = jax.lax.associative_scan(jnp.maximum, la_all, axis=0)
-        carry_la = jnp.where(
-            sidx > 0,
-            la_run[jnp.maximum(sidx - 1, 0)],
-            jnp.full_like(la_final, -1),
-        )[..., None]
-        last_above = jnp.maximum(la_local, carry_la)
-        prev_above = jnp.maximum(
-            jnp.concatenate(
-                [jnp.full_like(la_local[..., :1], -1), la_local[..., :-1]],
-                axis=-1,
-            ),
-            carry_la,
-        )
-        new_cluster = above & ((prev_above < 0) | (gi_b - prev_above > h))
-        counts = jnp.sum(new_cluster.astype(jnp.int32), axis=-1)
-        counts_all = jax.lax.all_gather(counts, "seq")
-        counts_run = jnp.cumsum(counts_all, axis=0)
-        carry_count = jnp.where(
-            sidx > 0,
-            counts_run[jnp.maximum(sidx - 1, 0)],
-            jnp.zeros_like(counts),
-        )[..., None]
-        cluster_id = carry_count + jnp.cumsum(
-            new_cluster.astype(jnp.int32), axis=-1
-        )
-        in_gate = (last_above >= 0) & (gi_b - last_above <= h) & (cluster_id >= 1)
-
-        total = carry_count[..., 0] + counts  # identical on last shard; use psum-free max
-        total = jax.lax.pmax(total, "seq")
-
-        starts, lasts, pidxs, pvals = [], [], [], []
-        for c in range(1, E + 1):
-            m = in_gate & (cluster_id == c)
-            bstart = jnp.min(
-                jnp.where(m, gi_b, jnp.int32(I32_MAX)), axis=-1
-            )
-            bstart = jax.lax.pmin(bstart, "seq")
-            blast = jnp.max(
-                jnp.where(above & (cluster_id == c), gi_b, jnp.int32(-1)),
-                axis=-1,
-            )
-            blast = jax.lax.pmax(blast, "seq")
-            lpv = jnp.max(jnp.where(m, track, NEG_INF), axis=-1)
-            gpv = jax.lax.pmax(lpv, "seq")
-            is_peak = m & (track == gpv[..., None])
-            if tie_last:
-                lidx = jnp.max(jnp.where(is_peak, gi_b, jnp.int32(-1)), axis=-1)
-                gidx_pk = jax.lax.pmax(lidx, "seq")
-            else:
-                lidx = jnp.min(
-                    jnp.where(is_peak, gi_b, jnp.int32(I32_MAX)), axis=-1
-                )
-                gidx_pk = jax.lax.pmin(lidx, "seq")
-            starts.append(bstart)
-            lasts.append(blast)
-            pidxs.append(gidx_pk)
-            pvals.append(gpv)
-
-        gate_start = jnp.stack(starts, axis=-1)  # (B_loc, E)
-        last_seg = jnp.stack(lasts, axis=-1)
-        peak_idx = jnp.stack(pidxs, axis=-1)
-        peak_val = jnp.stack(pvals, axis=-1)
-
-        slots = jnp.arange(E, dtype=jnp.int32)
-        exists = slots[None, :] < jnp.minimum(total, E)[..., None]
-        close_raw = last_seg + h
-        closed = (close_raw <= n - 1) & exists
-        valid = exists if emit_unclosed else (exists & closed)
-        z = jnp.int32(0)
-        return (
-            valid,
-            closed,
-            jnp.where(exists, gate_start, z),
-            jnp.where(exists, jnp.clip(close_raw, 0, n - 1), z),
-            jnp.where(exists, peak_idx, z),
-            jnp.where(exists, peak_val, jnp.float32(0.0)),
-            jnp.sum(valid.astype(jnp.int32), axis=-1),
-            total > E,
+        return _cross_shard_event_merge(
+            above, corr_pos, gi_b, h=h, E=E, n=n,
+            tie_last=tie_last, emit_unclosed=emit_unclosed,
         )
 
     spec_in = P("data", None, None, "seq")
     rep = P("data")  # replicated over seq
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_in,),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep, rep),
+        check_vma=False,
+    )
+    valid, closed, gs, gc, pi, pv, count, overflow = fn(iq)
+    return GateEvents(
+        valid=valid, closed=closed, gate_start=gs, gate_close=gc,
+        peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
+    )
+
+
+def sharded_minn_rtl_detect_fused(
+    iq: jax.Array,
+    mesh: Mesh,
+    *,
+    quarter_len: int,
+    smooth_shift: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+    hysteresis: int,
+    max_events: int = 8,
+    tie: str = "last",
+    emit_unclosed: bool = False,
+    kernel_block: int = 16384,
+    batch_tile: int = 8,
+    interpret: bool | None = None,
+):
+    """The production multi-chip detection step: per-shard **fused Pallas
+    metric kernel** + exact cross-shard smoothing carry + collective event
+    merge.
+
+    iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq'.
+    Per shard: a 3Q halo exchange over ICI, then the fused metric kernel
+    (`kernels.pallas_minn.minn_rtl_metric_planar_pallas`) computes
+    corr/energy in one VMEM-resident pass -- the window-ladder reduction
+    trees are translation-invariant, so the per-shard values are
+    BIT-IDENTICAL to the unsharded kernel's.  The smoothing IIR is stitched
+    across shards with `blocked_linear_recurrence` (global warm-up masking),
+    and gates/peaks merge with `_cross_shard_event_merge`.  Returns
+    GateEvents with batch over 'data', replicated over 'seq' -- equal to the
+    unsharded fused detection (tests place gates on shard boundaries).
+    """
+    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_metric_planar_pallas
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    Q = quarter_len
+    history = 3 * Q
+    n = iq.shape[-1]
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if n % n_seq or iq.shape[0] % n_data:
+        raise ValueError("batch/stream dims not divisible by mesh axes")
+    block = n // n_seq
+    if block < history:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the 3Q={history} "
+            "halo; use fewer seq shards"
+        )
+    alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
+    valid_from = max(0, 3 * Q - 1)
+    h = max(int(hysteresis), 1)
+
+    def shard_fn(blk):
+        # blk: (B_loc, branches, 2, block)
+        ext = halo_exchange(blk, history, 0, "seq")
+        state = minn_rtl_metric_planar_pallas(
+            ext,
+            quarter_len=Q,
+            smooth_shift=smooth_shift,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+            block=kernel_block,
+            batch_tile=batch_tile,
+            interpret=interpret,
+        )
+        # the halo head reproduces the delay-line state exactly (window
+        # reach <= 3Q); the kernel's own smoothing/gating used LOCAL indices
+        # and is discarded -- corr/energy are index-free and exact
+        corr_pos = state.corr_positive[..., history:]
+        energy_total = state.energy_total[..., history:]
+
+        sidx = jax.lax.axis_index("seq")
+        gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
+        metric_valid = gi >= valid_from
+        a = jnp.where(metric_valid, 1.0 - alpha, 1.0).astype(corr_pos.dtype)
+        a = jnp.broadcast_to(a, corr_pos.shape)
+        b = jnp.where(metric_valid, alpha * corr_pos, 0.0)
+        smooth = blocked_linear_recurrence(a, b, "seq")
+        above = metric_valid & (
+            smooth * (1 << threshold_frac_bits)
+            >= energy_total * float(threshold_value)
+        )
+        gi_b = jnp.broadcast_to(gi, above.shape)
+        return _cross_shard_event_merge(
+            above, corr_pos, gi_b, h=h, E=max_events, n=n,
+            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        )
+
+    spec_in = P("data", None, None, "seq")
+    rep = P("data")
     fn = shard_map(
         shard_fn,
         mesh=mesh,

@@ -83,3 +83,57 @@ def test_sharded_detect_emit_unclosed(rng):
     )
     assert int(t_closed.count[0]) == 0
     assert int(t_open.count[0]) == 1 and not bool(t_open.closed[0, 0])
+
+
+@pytest.mark.parametrize("boundary", [False, True])
+def test_sharded_fused_detect_equals_unsharded(rng, boundary):
+    """The production multi-chip path: per-shard fused Pallas metric kernel
+    (interpret mode on the CPU mesh) + cross-shard smoothing carry + event
+    merge == both the unsharded fused kernel and the XLA reference."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.parallel.shard import sharded_minn_rtl_detect_fused
+    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
+
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    iq = _streams(rng, boundary_positions=boundary)
+    table = sharded_minn_rtl_detect_fused(
+        jnp.asarray(iq), mesh, **KW, kernel_block=512
+    )
+    fused_ref = minn_rtl_detect_fused_pallas(
+        jnp.asarray(iq), **KW, block=512
+    )
+    for b in range(iq.shape[0]):
+        _, ref = minn_rtl_detect_planar(jnp.asarray(iq[b]), **KW)
+        assert int(table.count[b]) == int(ref.count), b
+        assert int(table.count[b]) == int(fused_ref.count[b]), b
+        k = int(ref.count)
+        assert k >= 1
+        for f in ("gate_start", "gate_close", "peak_idx", "valid", "closed"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(table, f))[b][:k],
+                np.asarray(getattr(ref, f))[:k],
+                err_msg=f"{f} stream {b} (vs XLA)",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(getattr(table, f))[b][:k],
+                np.asarray(getattr(fused_ref, f))[b][:k],
+                err_msg=f"{f} stream {b} (vs unsharded fused)",
+            )
+        np.testing.assert_allclose(
+            np.asarray(table.peak_value)[b][:k],
+            np.asarray(ref.peak_value)[:k],
+            rtol=1e-3,
+            atol=1e-6,
+        )
+
+
+def test_sharded_fused_rejects_short_shards():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.parallel.shard import sharded_minn_rtl_detect_fused
+
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    iq = jnp.zeros((2, 2, 2, 256), jnp.float32)  # 64-sample shards < 3Q=96
+    with pytest.raises(ValueError, match="halo"):
+        sharded_minn_rtl_detect_fused(iq, mesh, **KW)
