@@ -30,6 +30,111 @@ from ofdm_sync_tpu.kernels import pallas_common as common
 _LANE = common.LANE
 
 
+def _aa_metric_rows(x, hist_ref, *, L: int, H: int):
+    """Shared [A][A] metric datapath: planar lag-L correlation + L-window
+    sums, branch-combined.  Returns (P_re, P_im, R), each (NB, B); updates
+    the IQ history scratch.  (Reference sync_aa.py:463-481.)"""
+    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (2*BR, NB, H+B)
+    hist_ref[...] = ext[..., -H:]
+    br = ext.shape[0] // 2
+
+    # P = sum_window x[n] conj(x[n-L]); zero-filled history reproduces the
+    # RTL delay-line priming.  The L-delay is an unmasked wrap-roll and the
+    # ladders are guarded: total garbage < L + (L - 1) < 2L <= H, inside the
+    # discarded ext head.
+    ext_d = common.roll(ext, L)
+    swapped_d = jnp.concatenate([ext_d[br:], ext_d[:br]], axis=0)
+    lead = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
+    sign = jnp.where(lead < br, jnp.float32(-1.0), jnp.float32(1.0))
+    pre = jnp.sum(ext * ext_d, axis=0)  # (NB, H+B) antenna-combined
+    pim = jnp.sum(sign * ext * swapped_d, axis=0)
+    pw = jnp.sum(ext * ext, axis=0)
+
+    P_re = common.window_sum_guarded(pre, L, guard=H)[..., H:]  # (NB, B)
+    P_im = common.window_sum_guarded(pim, L, guard=H)[..., H:]
+    R = common.window_sum_guarded(pw, L, guard=H)[..., H:]
+    return P_re, P_im, R
+
+
+def _aa_metric_kernel(x_ref, pre_ref, pim_ref, r_ref, hist_ref, *, L, H):
+    it = pl.program_id(1)
+
+    @pl.when(it == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    P_re, P_im, R = _aa_metric_rows(x_ref[...], hist_ref, L=L, H=H)
+    pre_ref[...] = P_re
+    pim_ref[...] = P_im
+    r_ref[...] = R
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "half_len", "block", "batch_tile", "channel_leading", "interpret"
+    ),
+)
+def aa_metric_planar_pallas(
+    iq: jax.Array,
+    *,
+    half_len: int,
+    block: int = 4096,
+    batch_tile: int = 8,
+    channel_leading: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused [A][A] metric only: one VMEM-resident pass computing the full
+    per-sample (P_re, P_im, R) arrays (each (batch, L)).
+
+    The building block of the sharded multi-chip AA path
+    (`parallel.shard.sharded_aa_detect_fused`), which needs per-sample
+    values for the cross-shard gate/peak/CFO merge.  Input layouts as in
+    `aa_detect_fused_pallas`."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    L = half_len
+    if channel_leading:
+        assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
+        C, batch, L_sig = iq.shape
+        x = iq.astype(jnp.float32)
+    else:
+        squeeze3 = iq.ndim == 3
+        if squeeze3:
+            iq = iq[None]
+        batch, branches, planes, L_sig = iq.shape
+        assert planes == 2, "expected planar (..., 2, L) IQ"
+        x = iq.astype(jnp.float32).transpose(2, 1, 0, 3).reshape(
+            2 * branches, batch, L_sig
+        )
+        C = 2 * branches
+
+    B = min(block, common.round_up(L_sig, _LANE))
+    Lp = common.round_up(L_sig, B)
+    NB = common.round_up(min(batch_tile, batch), 8)
+    Np = common.round_up(batch, NB)
+    H = common.round_up(max(2 * L, _LANE), _LANE)
+    if Lp != L_sig or Np != batch:
+        xp = jnp.zeros((C, Np, Lp), jnp.float32)
+        x = xp.at[:, :batch, :L_sig].set(x)
+
+    kernel = functools.partial(_aa_metric_kernel, L=L, H=H)
+    out_spec = pl.BlockSpec((NB, B), lambda ib, it: (ib, it))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Np // NB, Lp // B),
+        in_specs=[pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))],
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Np, Lp), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((C, NB, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+    return tuple(o[:batch, :L_sig] for o in outs)
+
+
 def _aa_kernel(
     x_ref,
     valid_ref,
@@ -83,26 +188,7 @@ def _aa_kernel(
     #   Im(x conj(x_d)) = q*i_d - i*q_d   = sum_rows sign * ext * swap(ext_d)
     # where swap exchanges the I and Q row groups (a leading-dim concat) and
     # sign is -1 on I rows, +1 on Q rows.
-    x = x_ref[...]  # (2*BR, NB, B)
-    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (2*BR, NB, H+B)
-    hist_ref[...] = ext[..., -H:]
-    br = ext.shape[0] // 2
-
-    # P = sum_window x[n] conj(x[n-L]) (reference sync_aa.py:463-481);
-    # zero-filled history reproduces the RTL delay-line priming.  The L-delay
-    # is an unmasked wrap-roll and the ladders are guarded: total garbage
-    # stays < L + (L - 1) < 2L <= H, inside the discarded ext head.
-    ext_d = common.roll(ext, L)
-    swapped_d = jnp.concatenate([ext_d[br:], ext_d[:br]], axis=0)
-    lead = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
-    sign = jnp.where(lead < br, jnp.float32(-1.0), jnp.float32(1.0))
-    pre = jnp.sum(ext * ext_d, axis=0)  # (NB, H+B) antenna-combined
-    pim = jnp.sum(sign * ext * swapped_d, axis=0)
-    pw = jnp.sum(ext * ext, axis=0)
-
-    P_re = common.window_sum_guarded(pre, L, guard=H)[..., H:]  # (NB, B)
-    P_im = common.window_sum_guarded(pim, L, guard=H)[..., H:]
-    R = common.window_sum_guarded(pw, L, guard=H)[..., H:]
+    P_re, P_im, R = _aa_metric_rows(x_ref[...], hist_ref, L=L, H=H)
 
     gi = it * B + jax.lax.broadcasted_iota(jnp.int32, P_re.shape, 1)
     valid = gi >= L

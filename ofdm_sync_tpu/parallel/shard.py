@@ -387,6 +387,7 @@ def _cross_shard_event_merge(
     tie_last: bool,
     emit_unclosed: bool,
     axis_name: str = "seq",
+    extras: tuple = (),
 ):
     """Closed-form gate/peak event extraction with the cluster state merged
     across `axis_name` shards (call INSIDE shard_map).
@@ -394,7 +395,9 @@ def _cross_shard_event_merge(
     above/track/gi_b: (..., block) per-shard boolean gate input, peak-tracked
     value, and global sample indices.  Returns the 8 GateEvents fields
     (valid, closed, gate_start, gate_close, peak_idx, peak_value, count,
-    overflow), replicated over the shard axis.
+    overflow), replicated over the shard axis; with `extras` (per-sample
+    arrays to capture at the winning peak, e.g. P for CFO, reference
+    sync_aa.py:533), a tuple of (..., E) captured values is appended.
 
     Same closed form as the fused kernels (gates = above-clusters with gaps
     <= h, reference minn_rtl.py:750-825): the only cross-shard state is
@@ -443,6 +446,7 @@ def _cross_shard_event_merge(
     total = jax.lax.pmax(total, axis_name)
 
     starts, lasts, pidxs, pvals = [], [], [], []
+    extra_cols = [[] for _ in extras]
     for c in range(1, E + 1):
         m = in_gate & (cluster_id == c)
         bstart = jnp.min(jnp.where(m, gi_b, jnp.int32(I32_MAX)), axis=-1)
@@ -467,11 +471,20 @@ def _cross_shard_event_merge(
         lasts.append(blast)
         pidxs.append(gidx_pk)
         pvals.append(gpv)
+        # capture side channels at the winning peak (gi unique globally:
+        # exactly one shard contributes, psum collects it)
+        at_pk = m & (gi_b == gidx_pk[..., None])
+        for arr, col in zip(extras, extra_cols):
+            loc = jnp.sum(
+                jnp.where(at_pk, arr, jnp.zeros_like(arr)), axis=-1
+            )
+            col.append(jax.lax.psum(loc, axis_name))
 
     gate_start = jnp.stack(starts, axis=-1)  # (B_loc, E)
     last_seg = jnp.stack(lasts, axis=-1)
     peak_idx = jnp.stack(pidxs, axis=-1)
     peak_val = jnp.stack(pvals, axis=-1)
+    extra_vals = [jnp.stack(col, axis=-1) for col in extra_cols]
 
     slots = jnp.arange(E, dtype=jnp.int32)
     exists = slots[None, :] < jnp.minimum(total, E)[..., None]
@@ -488,6 +501,8 @@ def _cross_shard_event_merge(
         jnp.where(exists, peak_val, jnp.float32(0.0)),
         jnp.sum(valid.astype(jnp.int32), axis=-1),
         total > E,
+    ) + tuple(
+        jnp.where(exists, v, jnp.zeros_like(v)) for v in extra_vals
     )
 
 
@@ -692,6 +707,100 @@ def sharded_minn_rtl_detect_fused(
         valid=valid, closed=closed, gate_start=gs, gate_close=gc,
         peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
     )
+
+
+def sharded_aa_detect_fused(
+    iq: jax.Array,
+    mesh: Mesh,
+    *,
+    half_len: int,
+    threshold: float = 0.15,
+    hysteresis: int = 128,
+    max_events: int = 8,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+    kernel_block: int = 16384,
+    batch_tile: int = 8,
+    interpret: bool | None = None,
+):
+    """Production multi-chip [A][A] detection: per-shard fused Pallas metric
+    kernel + collective event merge with CFO capture at the peak.
+
+    iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq'.
+    Returns (GateEvents, P_at_peak (..., 2, E) planar, M_at_peak (..., E)) --
+    the same contract as `kernels.pallas_aa.aa_detect_fused_pallas` (CFO =
+    angle(P)·fs/(2πL), frame start = peak − 2L + 1, reference
+    sync_aa.py:533-540), with batch over 'data', replicated over 'seq'.
+    """
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_metric_planar_pallas
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    L = half_len
+    history = 2 * L
+    n = iq.shape[-1]
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if n % n_seq or iq.shape[0] % n_data:
+        raise ValueError("batch/stream dims not divisible by mesh axes")
+    block = n // n_seq
+    if block < history:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the 2L={history} "
+            "halo; use fewer seq shards"
+        )
+    h = max(int(hysteresis), 1)
+
+    def shard_fn(blk):
+        # blk: (B_loc, branches, 2, block)
+        ext = halo_exchange(blk, history, 0, "seq")
+        P_re, P_im, R = aa_metric_planar_pallas(
+            ext,
+            half_len=L,
+            block=kernel_block,
+            batch_tile=batch_tile,
+            interpret=interpret,
+        )
+        P_re = P_re[..., history:]
+        P_im = P_im[..., history:]
+        R = R[..., history:]
+
+        sidx = jax.lax.axis_index("seq")
+        gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
+        gi_b = jnp.broadcast_to(gi, P_re.shape)
+        valid = gi_b >= L
+        p_sq = P_re * P_re + P_im * P_im
+        noise_floor = jnp.float32(1e-6 * L)
+        eps = jnp.float32(1e-12)
+        M = jnp.where(
+            valid & (R > noise_floor),
+            jnp.minimum(p_sq / jnp.maximum(R, eps) ** 2, 1.0),
+            0.0,
+        )
+        above = valid & (M >= jnp.float32(threshold))
+        # peak tracked on |P|^2, NOT on M (reference sync_aa.py:522-529)
+        return _cross_shard_event_merge(
+            above, p_sq, gi_b, h=h, E=max_events, n=n,
+            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+            extras=(P_re, P_im, M),
+        )
+
+    spec_in = P("data", None, None, "seq")
+    rep = P("data")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_in,),
+        out_specs=(rep,) * 11,
+        check_vma=False,
+    )
+    (valid, closed, gs, gc, pi, pv, count, overflow,
+     pre_pk, pim_pk, m_pk) = fn(iq)
+    table = GateEvents(
+        valid=valid, closed=closed, gate_start=gs, gate_close=gc,
+        peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
+    )
+    P_at_peak = jnp.stack([pre_pk, pim_pk], axis=-2)  # (batch, 2, E)
+    return table, P_at_peak, m_pk
 
 
 # ---------------------------------------------------------------------------

@@ -137,3 +137,66 @@ def test_sharded_fused_rejects_short_shards():
     iq = jnp.zeros((2, 2, 2, 256), jnp.float32)  # 64-sample shards < 3Q=96
     with pytest.raises(ValueError, match="halo"):
         sharded_minn_rtl_detect_fused(iq, mesh, **KW)
+
+
+def test_sharded_aa_fused_matches_unsharded(rng):
+    """Multi-chip [A][A] detection with in-merge CFO capture == the
+    unsharded fused kernel (preamble straddling a seq-shard boundary,
+    nonzero CFO)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+    from ofdm_sync_tpu.parallel.shard import sharded_aa_detect_fused
+    from ofdm_sync_tpu.ops.waveforms import build_aa_preamble
+    from ofdm_sync_tpu.params import SYS_AA_10M
+
+    total = 256
+    L = total // 2
+    L_sig = 4096
+    batch = 2
+    pre, _, _ = build_aa_preamble(total)
+    iq = np.zeros((batch, 2, 2, L_sig), np.float32)
+    fs = SYS_AA_10M.sample_rate_hz
+    cfo = 400.0
+    for b in range(batch):
+        sig = np.zeros(L_sig, complex)
+        pos = L_sig // 4 - total // 2 + 64 * b  # straddles shard 0/1 boundary
+        sig[pos:pos + total] = pre
+        n = np.arange(L_sig)
+        sig = sig * np.exp(2j * np.pi * cfo * n / fs)
+        rx = np.stack([sig, 0.7 * sig])
+        rx = rx + 0.02 * (
+            rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+        )
+        iq[b] = np.asarray(to_planar(jnp.asarray(rx)))
+
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    kw = dict(half_len=L, threshold=0.15, hysteresis=128)
+    tab_s, P_s, M_s = sharded_aa_detect_fused(
+        jnp.asarray(iq), mesh, **kw, kernel_block=512
+    )
+    tab_u, P_u, M_u = aa_detect_fused_pallas(jnp.asarray(iq), **kw, block=512)
+
+    for b in range(batch):
+        k = int(tab_u.count[b])
+        assert int(tab_s.count[b]) == k and k >= 1
+        for f in ("gate_start", "gate_close", "peak_idx", "valid", "closed"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(tab_s, f))[b][:k],
+                np.asarray(getattr(tab_u, f))[b][:k],
+                err_msg=f"{f} stream {b}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(tab_s.peak_value)[b][:k],
+            np.asarray(tab_u.peak_value)[b][:k], rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(P_s)[b][:, :k], np.asarray(P_u)[b][:, :k], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(M_s)[b][:k], np.asarray(M_u)[b][:k], rtol=1e-5
+        )
+        # CFO from the captured P at the peak (reference sync_aa.py:533)
+        p = np.asarray(P_s)[b][0, 0] + 1j * np.asarray(P_s)[b][1, 0]
+        cfo_est = np.angle(p) * fs / (2 * np.pi * L)
+        assert abs(cfo_est - cfo) < 40.0, cfo_est
