@@ -803,6 +803,82 @@ def sharded_aa_detect_fused(
     return table, P_at_peak, m_pk
 
 
+def sharded_zc_cfar_detect(
+    corr_mag: jax.Array,
+    mesh: Mesh,
+    *,
+    corr_window: int = 2048,
+    threshold_value: int = int(4.0 * (1 << 15) / 2048),
+    threshold_frac_bits: int = 15,
+    min_corr_mag: float = 0.3,
+    hysteresis: int = 256,
+    max_events: int = 16,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+):
+    """Sharded ZC CFAR detection over matched-filter magnitudes.
+
+    corr_mag: (batch, L) float32, batch over 'data', L over 'seq'.  The CFAR
+    test (reference zc_v2.py:119-158, 288-336) thresholds each magnitude
+    against its trailing W-window running average; per shard that is a
+    cumsum difference over a W-halo, then the collective event merge.
+    Returns GateEvents equal to `kernels.pallas_zc.zc_cfar_detect_pallas`
+    on the unsharded stream (tests assert equality up to float association
+    of the window sum).
+    """
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    W = corr_window
+    n = corr_mag.shape[-1]
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if n % n_seq or corr_mag.shape[0] % n_data:
+        raise ValueError("batch/stream dims not divisible by mesh axes")
+    block = n // n_seq
+    if block < W:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the W={W} halo; "
+            "use fewer seq shards"
+        )
+    h = max(int(hysteresis), 1)
+
+    def shard_fn(blk):
+        # blk: (B_loc, block)
+        ext = halo_exchange(blk, W, 0, "seq")
+        cs = jnp.cumsum(ext, axis=-1)
+        local_sum = (cs - jnp.concatenate(
+            [jnp.zeros_like(cs[..., :W]), cs[..., :-W]], axis=-1
+        ))[..., W:]
+        sidx = jax.lax.axis_index("seq")
+        gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
+        gi_b = jnp.broadcast_to(gi, blk.shape)
+        valid = gi_b >= W
+        above = (
+            valid
+            & (blk * jnp.float32(1 << threshold_frac_bits)
+               >= local_sum * jnp.float32(threshold_value))
+            & (blk >= jnp.float32(min_corr_mag))
+        )
+        return _cross_shard_event_merge(
+            above, blk, gi_b, h=h, E=max_events, n=n,
+            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        )
+
+    rep = P("data")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data", "seq"),),
+        out_specs=(rep,) * 8,
+        check_vma=False,
+    )
+    valid, closed, gs, gc, pi, pv, count, overflow = fn(corr_mag)
+    return GateEvents(
+        valid=valid, closed=closed, gate_start=gs, gate_close=gc,
+        peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-parallel sweep sharding
 # ---------------------------------------------------------------------------

@@ -200,3 +200,41 @@ def test_sharded_aa_fused_matches_unsharded(rng):
         p = np.asarray(P_s)[b][0, 0] + 1j * np.asarray(P_s)[b][1, 0]
         cfo_est = np.angle(p) * fs / (2 * np.pi * L)
         assert abs(cfo_est - cfo) < 40.0, cfo_est
+
+
+def test_sharded_zc_cfar_matches_kernel(rng):
+    """Sharded ZC CFAR (cumsum-difference window + collective merge) == the
+    fused single-chip CFAR kernel, with peaks on shard boundaries."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+    from ofdm_sync_tpu.parallel.shard import sharded_zc_cfar_detect
+
+    W, L_sig, batch = 256, 8192, 2
+    x = 0.05 * np.abs(rng.standard_normal((batch, L_sig))).astype(np.float32)
+    for b in range(batch):
+        for pos in (L_sig // 4 - 1 + b, L_sig // 2 + 100, 3 * L_sig // 4):
+            x[b, pos - 2 : pos + 3] = [0.5, 2.0, 5.0, 2.0, 0.5]
+    kw = dict(
+        corr_window=W,
+        threshold_value=int(4.0 * (1 << 15) / W),
+        min_corr_mag=0.3,
+        hysteresis=64,
+        max_events=8,
+    )
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    t_s = sharded_zc_cfar_detect(jnp.asarray(x), mesh, **kw)
+    t_u = zc_cfar_detect_pallas(jnp.asarray(x), **kw, block=1024)
+    for b in range(batch):
+        k = int(t_u.count[b])
+        assert int(t_s.count[b]) == k and k >= 3, (b, k)
+        for f in ("gate_start", "gate_close", "peak_idx", "valid", "closed"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(t_s, f))[b][:k],
+                np.asarray(getattr(t_u, f))[b][:k],
+                err_msg=f"{f} stream {b}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(t_s.peak_value)[b][:k],
+            np.asarray(t_u.peak_value)[b][:k], rtol=1e-6,
+        )
