@@ -33,19 +33,30 @@ _LANE = common.LANE
 def _aa_metric_rows(x, hist_ref, *, L: int, H: int):
     """Shared [A][A] metric datapath: planar lag-L correlation + L-window
     sums, branch-combined.  Returns (P_re, P_im, R), each (NB, B); updates
-    the IQ history scratch.  (Reference sync_aa.py:463-481.)"""
+    the IQ history scratch.  (Reference sync_aa.py:463-481.)
+
+    Rows are the framework-native BRANCH-MAJOR channel-leading order
+    [b0_i, b0_q, b1_i, b1_q] (same as the Minn-RTL kernel).  The planar
+    complex lag product needs no tiled-dim slicing:
+      Re(x conj(x_d)) summed over planes = sum_rows ext * ext_d
+      Im(x conj(x_d)) = q*i_d - i*q_d   = sum_rows sign * ext * swap(ext_d)
+    where swap exchanges each branch's I and Q rows (a cheap leading-dim
+    concat) and sign is -1 on I (even) rows, +1 on Q (odd) rows.
+    """
     ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (2*BR, NB, H+B)
     hist_ref[...] = ext[..., -H:]
-    br = ext.shape[0] // 2
+    C = ext.shape[0]
 
     # P = sum_window x[n] conj(x[n-L]); zero-filled history reproduces the
     # RTL delay-line priming.  The L-delay is an unmasked wrap-roll and the
     # ladders are guarded: total garbage < L + (L - 1) < 2L <= H, inside the
     # discarded ext head.
     ext_d = common.roll(ext, L)
-    swapped_d = jnp.concatenate([ext_d[br:], ext_d[:br]], axis=0)
+    swapped_d = jnp.concatenate(
+        [ext_d[(r ^ 1):(r ^ 1) + 1] for r in range(C)], axis=0
+    )
     lead = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
-    sign = jnp.where(lead < br, jnp.float32(-1.0), jnp.float32(1.0))
+    sign = jnp.where(lead % 2 == 0, jnp.float32(-1.0), jnp.float32(1.0))
     pre = jnp.sum(ext * ext_d, axis=0)  # (NB, H+B) antenna-combined
     pim = jnp.sum(sign * ext * swapped_d, axis=0)
     pw = jnp.sum(ext * ext, axis=0)
@@ -97,26 +108,17 @@ def aa_metric_planar_pallas(
     if channel_leading:
         assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
         C, batch, L_sig = iq.shape
-        x = iq.astype(jnp.float32)
+        x, squeeze = iq.astype(jnp.float32), False
     else:
-        squeeze3 = iq.ndim == 3
-        if squeeze3:
-            iq = iq[None]
-        batch, branches, planes, L_sig = iq.shape
-        assert planes == 2, "expected planar (..., 2, L) IQ"
-        x = iq.astype(jnp.float32).transpose(2, 1, 0, 3).reshape(
-            2 * branches, batch, L_sig
-        )
-        C = 2 * branches
+        x, batch, L_sig, squeeze = common.to_channel_leading(iq)
+        C = x.shape[0]
 
     B = min(block, common.round_up(L_sig, _LANE))
     Lp = common.round_up(L_sig, B)
     NB = common.round_up(min(batch_tile, batch), 8)
     Np = common.round_up(batch, NB)
     H = common.round_up(max(2 * L, _LANE), _LANE)
-    if Lp != L_sig or Np != batch:
-        xp = jnp.zeros((C, Np, Lp), jnp.float32)
-        x = xp.at[:, :batch, :L_sig].set(x)
+    x = common.pad_channel_leading(x, Np, Lp)
 
     kernel = functools.partial(_aa_metric_kernel, L=L, H=H)
     out_spec = pl.BlockSpec((NB, B), lambda ib, it: (ib, it))
@@ -132,7 +134,10 @@ def aa_metric_planar_pallas(
         ),
         interpret=interpret,
     )(x)
-    return tuple(o[:batch, :L_sig] for o in outs)
+    res = tuple(o[:batch, :L_sig] for o in outs)
+    if squeeze:
+        res = tuple(o[0] for o in res)
+    return res
 
 
 def _aa_kernel(
@@ -182,12 +187,7 @@ def _aa_kernel(
 
     # Layout (C=2*BR, NB, time): channel rows LEADING so the tiled dims are
     # (NB=8, lanes) with zero sublane padding, and the row axis is the cheap
-    # untiled leading dim.  Rows are plane-major [b0_i, b1_i, .., b0_q, ..].
-    # The planar complex lag product needs no tiled-dim slicing:
-    #   Re(x conj(x_d)) summed over planes = sum_rows ext * ext_d
-    #   Im(x conj(x_d)) = q*i_d - i*q_d   = sum_rows sign * ext * swap(ext_d)
-    # where swap exchanges the I and Q row groups (a leading-dim concat) and
-    # sign is -1 on I rows, +1 on Q rows.
+    # untiled leading dim.  Row order and lag-product math: _aa_metric_rows.
     P_re, P_im, R = _aa_metric_rows(x_ref[...], hist_ref, L=L, H=H)
 
     gi = it * B + jax.lax.broadcasted_iota(jnp.int32, P_re.shape, 1)
@@ -254,9 +254,9 @@ def aa_detect_fused_pallas(
     """Fully-fused [A][A] detection on planar float32 IQ.
 
     iq: (batch, branches, 2, L) or unbatched (branches, 2, L); with
-    `channel_leading=True`, the kernel-native plane-major
-    (2*branches, batch, L) layout -- rows [all I branches | all Q branches]
-    -- which skips a full HBM transpose per call.
+    `channel_leading=True`, the framework-native branch-major
+    (2*branches, batch, L) layout -- rows [b0_i, b0_q, b1_i, b1_q], shared
+    with the Minn-RTL kernels -- which skips a full HBM transpose per call.
     Returns (GateEvents, P_at_peak, M_at_peak) with leading batch axes --
     everything a receiver needs for timing (peak - 2L + 1) and CFO
     (angle(P) fs / (2 pi L)).  P_at_peak is PLANAR float32 (..., 2, E)
@@ -276,25 +276,15 @@ def aa_detect_fused_pallas(
         C, batch, L_sig = iq.shape
         x, squeeze = iq.astype(jnp.float32), False
     else:
-        squeeze = iq.ndim == 3
-        if squeeze:
-            iq = iq[None]
-        batch, branches, planes, L_sig = iq.shape
-        assert planes == 2, "expected planar (..., 2, L) IQ"
-        # plane-major rows: [all I rows | all Q rows], channel leading
-        x = iq.astype(jnp.float32).transpose(2, 1, 0, 3).reshape(
-            2 * branches, batch, L_sig
-        )
-        C = 2 * branches
+        x, batch, L_sig, squeeze = common.to_channel_leading(iq)
+        C = x.shape[0]
 
     B = min(block, common.round_up(L_sig, _LANE))
     Lp = common.round_up(L_sig, B)
     NB = common.round_up(min(batch_tile, batch), 8)
     Np = common.round_up(batch, NB)
     H = common.round_up(max(2 * L, _LANE), _LANE)
-    if Lp != L_sig or Np != batch:
-        xp = jnp.zeros((C, Np, Lp), jnp.float32)
-        x = xp.at[:, :batch, :L_sig].set(x)
+    x = common.pad_channel_leading(x, Np, Lp)
 
     kernel = functools.partial(
         _aa_kernel,

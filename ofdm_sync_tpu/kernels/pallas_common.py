@@ -65,6 +65,35 @@ def window_sum(x: jax.Array, window: int) -> jax.Array:
     return out
 
 
+def to_channel_leading(iq: jax.Array, *, expect_planes: int = 2):
+    """Normalize detector input to the kernels' native channel-leading
+    (C, batch, L) planar float32 layout with BRANCH-MAJOR rows
+    [b0_i, b0_q, b1_i, b1_q] -- THE framework-native stream layout, shared
+    by every fused kernel.
+
+    Accepts (batch, branches, 2, L) / (branches, 2, L) natural layouts (a
+    full HBM transpose per call -- ~30% of kernel wall at 2 GB payloads), or
+    an already channel-leading (C, batch, L) array tagged by the caller via
+    `channel_leading=True`, which is free.  Returns (x, batch, L, squeeze).
+    """
+    squeeze = iq.ndim == 3
+    if squeeze:
+        iq = iq[None]
+    batch, branches, planes, L = iq.shape
+    assert planes == expect_planes, "expected planar (..., 2, L) IQ"
+    x = iq.astype(jnp.float32).reshape(batch, branches * planes, L)
+    return x.transpose(1, 0, 2), batch, L, squeeze
+
+
+def pad_channel_leading(x: jax.Array, Np: int, Lp: int) -> jax.Array:
+    """Zero-pad a channel-leading (C, batch, L) array to (C, Np, Lp)."""
+    C, batch, L = x.shape
+    if Np != batch or Lp != L:
+        xp = jnp.zeros((C, Np, Lp), jnp.float32)
+        x = xp.at[:, :batch, :L].set(x)
+    return x
+
+
 def roll(x: jax.Array, d: int) -> jax.Array:
     """Wrap-around lane shift: ``y[..., n] = x[..., (n - d) % N]``.
 

@@ -62,6 +62,102 @@ def _init_decay(dec_ref, alpha: float) -> None:
     dec_ref[...] = d
 
 
+def _corr_energy_rows(x, hist_ref, *, Q: int, H: int):
+    """Shared Minn-RTL correlation/energy datapath.  Returns
+    (corr_positive, energy_total), each (NB, B); updates the IQ history
+    scratch (reference ref/minn_antenna_path.sv:33-194).
+
+    Branch/plane combine FIRST (the RTL sums correlation and power across
+    antennas, reference ref/minn_preamble_detector.sv:247-260; the I/Q plane
+    sum is the real part of x * conj(x_delayed)) -- the window sums are
+    linear, so combining early quarters the VPU work.
+    The Q-delay is an unmasked wrap-roll: its garbage lanes (< Q) only ever
+    reach window outputs < 3Q - 1 <= H, all inside the discarded ext head.
+    corr + its Q-delayed tap is just a 2Q window sum of the quarter product;
+    energy's three taps are a 3Q window sum of the power (window sums are
+    linear) -- one guarded (wrap-roll) ladder each: total garbage
+    < Q + (2Q - 1) resp. 3Q - 1, both <= H.
+    """
+    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (C, NB, H+B)
+    hist_ref[...] = ext[..., -H:]
+    u = jnp.sum(ext * common.roll(ext, Q), axis=0)  # (NB, H+B) quarter prod
+    p = jnp.sum(ext * ext, axis=0)  # (NB, H+B) instantaneous power
+    corr_total = common.window_sum_guarded(u, 2 * Q, guard=H)
+    energy_total = common.window_sum_guarded(p, 3 * Q, guard=H)
+    return jnp.maximum(corr_total[..., H:], 0.0), energy_total[..., H:]
+
+
+def _corr_energy_kernel(x_ref, corr_ref, energy_ref, hist_ref, *, Q, H):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    corr_pos, energy_out = _corr_energy_rows(x_ref[...], hist_ref, Q=Q, H=H)
+    corr_ref[...] = corr_pos
+    energy_ref[...] = energy_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "quarter_len", "block", "batch_tile", "channel_leading", "interpret"
+    ),
+)
+def minn_rtl_corr_energy_planar_pallas(
+    iq: jax.Array,
+    *,
+    quarter_len: int,
+    block: int = 4096,
+    batch_tile: int = 8,
+    channel_leading: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused Minn-RTL correlation/energy only: one VMEM-resident pass
+    computing the full per-sample (corr_positive, energy_total) arrays.
+
+    The building block of the sharded multi-chip path
+    (`parallel.shard.sharded_minn_rtl_detect_fused`), which stitches the
+    smoothing IIR and gating across shards itself and would otherwise
+    discard the metric kernel's in-kernel scan.  Input layouts as in
+    `minn_rtl_metric_planar_pallas`; returns (batch, L) arrays (or (L,)
+    when unbatched)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if channel_leading:
+        assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
+        C, batch, L = iq.shape
+        x, squeeze = iq.astype(jnp.float32), False
+    else:
+        x, batch, L, squeeze = _to_channel_leading(iq)
+        C = x.shape[0]
+    Q = quarter_len
+    B = min(block, _round_up(L, _LANE))
+    Lp = _round_up(L, B)
+    NB = _round_up(min(batch_tile, batch), 8)
+    Np = _round_up(batch, NB)
+    H = _round_up(max(3 * Q, _LANE), _LANE)
+    x = _pad_channel_leading(x, Np, Lp)
+
+    kernel = functools.partial(_corr_energy_kernel, Q=Q, H=H)
+    out_spec = pl.BlockSpec((NB, B), lambda ib, it: (ib, it))
+    corr, energy = pl.pallas_call(
+        kernel,
+        grid=(Np // NB, Lp // B),
+        in_specs=[pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((Np, Lp), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((C, NB, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+    corr, energy = corr[:batch, :L], energy[:batch, :L]
+    if squeeze:
+        corr, energy = corr[0], energy[0]
+    return corr, energy
+
+
 def _metric_block(
     x,
     hist_ref,
@@ -84,27 +180,7 @@ def _metric_block(
     tiled dims are (NB=8, lanes) with zero sublane padding; a (NB, C=4, ...)
     layout tiles (4, lanes) and wastes half the VPU on the ext-level passes.
     """
-    ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (C, NB, H+B)
-    hist_ref[...] = ext[..., -H:]
-
-    # Branch/plane combine FIRST (the RTL sums correlation and power across
-    # antennas, reference ref/minn_preamble_detector.sv:247-260; the I/Q plane
-    # sum is the real part of x * conj(x_delayed)) -- the window sums are
-    # linear, so combining early quarters the VPU work.
-    # The Q-delay is an unmasked wrap-roll: its garbage lanes (< Q) only ever
-    # reach window outputs < 3Q - 1 <= H, all inside the discarded ext head.
-    u = jnp.sum(ext * common.roll(ext, Q), axis=0)  # (NB, H+B) quarter prod
-    p = jnp.sum(ext * ext, axis=0)  # (NB, H+B) instantaneous power
-
-    # corr + its Q-delayed tap is just a 2Q window sum of u; energy's three
-    # taps are a 3Q window sum of p (the window sums are linear) -- one
-    # ladder each instead of ladder + explicit taps.  Guarded (wrap-roll)
-    # ladders: total garbage < Q + (2Q - 1) resp. 3Q - 1, both <= H.
-    corr_total = common.window_sum_guarded(u, 2 * Q, guard=H)
-    energy_total = common.window_sum_guarded(p, 3 * Q, guard=H)
-
-    corr_pos = jnp.maximum(corr_total[..., H:], 0.0)  # (NB, B)
-    energy_out = energy_total[..., H:]
+    corr_pos, energy_out = _corr_energy_rows(x, hist_ref, Q=Q, H=H)
 
     gi = it * B + jax.lax.broadcasted_iota(jnp.int32, corr_pos.shape, 1)
     valid = gi >= valid_from
@@ -172,30 +248,8 @@ def _minn_kernel(
     above_ref[...] = above.astype(jnp.uint8)
 
 
-def _to_channel_leading(iq, *, expect_planes=2):
-    """Normalize detector input to the kernels' native channel-leading
-    (C, batch, L) planar float32 layout.
-
-    Accepts (batch, branches, 2, L) / (branches, 2, L) natural layouts (a
-    full HBM transpose per call -- ~30% of kernel wall at 2 GB payloads), or
-    an already channel-leading (C, batch, L) array tagged by the caller via
-    `channel_leading=True`, which is free.  Returns (x, batch, L, squeeze).
-    """
-    squeeze = iq.ndim == 3
-    if squeeze:
-        iq = iq[None]
-    batch, branches, planes, L = iq.shape
-    assert planes == expect_planes, "expected planar (..., 2, L) IQ"
-    x = iq.astype(jnp.float32).reshape(batch, branches * planes, L)
-    return x.transpose(1, 0, 2), batch, L, squeeze
-
-
-def _pad_channel_leading(x, Np, Lp):
-    C, batch, L = x.shape
-    if Np != batch or Lp != L:
-        xp = jnp.zeros((C, Np, Lp), jnp.float32)
-        x = xp.at[:, :batch, :L].set(x)
-    return x
+_to_channel_leading = common.to_channel_leading
+_pad_channel_leading = common.pad_channel_leading
 
 
 @functools.partial(

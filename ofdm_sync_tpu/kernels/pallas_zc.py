@@ -125,7 +125,7 @@ def zc_cfar_detect_pallas(
     corr_mag: jax.Array,
     *,
     corr_window: int = 2048,
-    threshold_value: int = int(4.0 * (1 << 15) / 2048),
+    threshold_value: int | None = None,
     threshold_frac_bits: int = 15,
     min_corr_mag: float = 0.3,
     hysteresis: int = 256,
@@ -140,10 +140,17 @@ def zc_cfar_detect_pallas(
 
     corr_mag: (batch, L) or (L,) float32.  Returns GateEvents with a leading
     batch axis (or scalar-shaped when unbatched).  Defaults mirror
-    `params.ZCStreamingParams` (reference zc_v2.py:119-158).
+    `params.ZCStreamingParams` (reference zc_v2.py:119-158);
+    `threshold_value=None` derives the reference's 4x-local-mean threshold
+    from `corr_window` (the fixed-point value scales with 1/W because the
+    compare is against the local SUM, not the mean).
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 
+    if threshold_value is None:
+        threshold_value = int(
+            4.0 * (1 << threshold_frac_bits) / corr_window
+        )
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if max_events > _LANE:

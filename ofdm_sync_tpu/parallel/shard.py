@@ -445,46 +445,62 @@ def _cross_shard_event_merge(
     total = carry_count[..., 0] + counts  # identical on last shard
     total = jax.lax.pmax(total, axis_name)
 
-    starts, lasts, pidxs, pvals = [], [], [], []
-    extra_cols = [[] for _ in extras]
+    # Per-slot local reductions are stacked to (..., E) so each quantity
+    # needs ONE batched collective over the shard axis, not E tiny
+    # latency-bound ones (3 rounds: extents/values -> peak index -> extras).
+    ms, starts, lasts, lpvs = [], [], [], []
     for c in range(1, E + 1):
         m = in_gate & (cluster_id == c)
-        bstart = jnp.min(jnp.where(m, gi_b, jnp.int32(I32_MAX)), axis=-1)
-        bstart = jax.lax.pmin(bstart, axis_name)
-        blast = jnp.max(
-            jnp.where(above & (cluster_id == c), gi_b, jnp.int32(-1)),
-            axis=-1,
+        ms.append(m)
+        starts.append(
+            jnp.min(jnp.where(m, gi_b, jnp.int32(I32_MAX)), axis=-1)
         )
-        blast = jax.lax.pmax(blast, axis_name)
-        lpv = jnp.max(jnp.where(m, track, NEG_INF), axis=-1)
-        gpv = jax.lax.pmax(lpv, axis_name)
-        is_peak = m & (track == gpv[..., None])
-        if tie_last:
-            lidx = jnp.max(jnp.where(is_peak, gi_b, jnp.int32(-1)), axis=-1)
-            gidx_pk = jax.lax.pmax(lidx, axis_name)
-        else:
-            lidx = jnp.min(
-                jnp.where(is_peak, gi_b, jnp.int32(I32_MAX)), axis=-1
+        lasts.append(
+            jnp.max(
+                jnp.where(above & (cluster_id == c), gi_b, jnp.int32(-1)),
+                axis=-1,
             )
-            gidx_pk = jax.lax.pmin(lidx, axis_name)
-        starts.append(bstart)
-        lasts.append(blast)
-        pidxs.append(gidx_pk)
-        pvals.append(gpv)
-        # capture side channels at the winning peak (gi unique globally:
-        # exactly one shard contributes, psum collects it)
-        at_pk = m & (gi_b == gidx_pk[..., None])
-        for arr, col in zip(extras, extra_cols):
-            loc = jnp.sum(
-                jnp.where(at_pk, arr, jnp.zeros_like(arr)), axis=-1
-            )
-            col.append(jax.lax.psum(loc, axis_name))
+        )
+        lpvs.append(jnp.max(jnp.where(m, track, NEG_INF), axis=-1))
+    gate_start = jax.lax.pmin(jnp.stack(starts, axis=-1), axis_name)
+    last_seg = jax.lax.pmax(jnp.stack(lasts, axis=-1), axis_name)
+    peak_val = jax.lax.pmax(jnp.stack(lpvs, axis=-1), axis_name)
 
-    gate_start = jnp.stack(starts, axis=-1)  # (B_loc, E)
-    last_seg = jnp.stack(lasts, axis=-1)
-    peak_idx = jnp.stack(pidxs, axis=-1)
-    peak_val = jnp.stack(pvals, axis=-1)
-    extra_vals = [jnp.stack(col, axis=-1) for col in extra_cols]
+    lidxs = []
+    for c in range(1, E + 1):
+        is_peak = ms[c - 1] & (track == peak_val[..., c - 1 : c])
+        if tie_last:
+            lidxs.append(
+                jnp.max(jnp.where(is_peak, gi_b, jnp.int32(-1)), axis=-1)
+            )
+        else:
+            lidxs.append(
+                jnp.min(jnp.where(is_peak, gi_b, jnp.int32(I32_MAX)), axis=-1)
+            )
+    stacked = jnp.stack(lidxs, axis=-1)
+    if tie_last:
+        peak_idx = jax.lax.pmax(stacked, axis_name)
+    else:
+        peak_idx = jax.lax.pmin(stacked, axis_name)
+
+    # capture side channels at the winning peak (gi unique globally:
+    # exactly one shard contributes, one psum per extra collects all slots)
+    extra_vals = []
+    for arr in extras:
+        cols = [
+            jnp.sum(
+                jnp.where(
+                    ms[c - 1] & (gi_b == peak_idx[..., c - 1 : c]),
+                    arr,
+                    jnp.zeros_like(arr),
+                ),
+                axis=-1,
+            )
+            for c in range(1, E + 1)
+        ]
+        extra_vals.append(
+            jax.lax.psum(jnp.stack(cols, axis=-1), axis_name)
+        )
 
     slots = jnp.arange(E, dtype=jnp.int32)
     exists = slots[None, :] < jnp.minimum(total, E)[..., None]
@@ -620,15 +636,18 @@ def sharded_minn_rtl_detect_fused(
     emit_unclosed: bool = False,
     kernel_block: int = 16384,
     batch_tile: int = 8,
+    channel_leading: bool = False,
     interpret: bool | None = None,
 ):
     """The production multi-chip detection step: per-shard **fused Pallas
-    metric kernel** + exact cross-shard smoothing carry + collective event
-    merge.
+    corr/energy kernel** + exact cross-shard smoothing carry + collective
+    event merge.
 
-    iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq'.
-    Per shard: a 3Q halo exchange over ICI, then the fused metric kernel
-    (`kernels.pallas_minn.minn_rtl_metric_planar_pallas`) computes
+    iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq';
+    with `channel_leading=True`, the framework-native (2*branches, batch, L)
+    layout (rows [b0_i, b0_q, b1_i, b1_q]), which avoids the per-shard HBM
+    layout transpose entirely.  Per shard: a 3Q halo exchange over ICI, then
+    `kernels.pallas_minn.minn_rtl_corr_energy_planar_pallas` computes
     corr/energy in one VMEM-resident pass -- the window-ladder reduction
     trees are translation-invariant, so the per-shard values are
     BIT-IDENTICAL to the unsharded kernel's.  The smoothing IIR is stitched
@@ -637,7 +656,9 @@ def sharded_minn_rtl_detect_fused(
     GateEvents with batch over 'data', replicated over 'seq' -- equal to the
     unsharded fused detection (tests place gates on shard boundaries).
     """
-    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_metric_planar_pallas
+    from ofdm_sync_tpu.kernels.pallas_minn import (
+        minn_rtl_corr_energy_planar_pallas,
+    )
     from ofdm_sync_tpu.ops.detect import GateEvents
 
     Q = quarter_len
@@ -645,7 +666,8 @@ def sharded_minn_rtl_detect_fused(
     n = iq.shape[-1]
     n_seq = mesh.shape["seq"]
     n_data = mesh.shape["data"]
-    if n % n_seq or iq.shape[0] % n_data:
+    batch_dim = iq.shape[1] if channel_leading else iq.shape[0]
+    if n % n_seq or batch_dim % n_data:
         raise ValueError("batch/stream dims not divisible by mesh axes")
     block = n // n_seq
     if block < history:
@@ -658,23 +680,21 @@ def sharded_minn_rtl_detect_fused(
     h = max(int(hysteresis), 1)
 
     def shard_fn(blk):
-        # blk: (B_loc, branches, 2, block)
+        # blk: (B_loc, branches, 2, block), or (C, B_loc, block) when
+        # channel-leading (halo exchange works on the last axis either way)
         ext = halo_exchange(blk, history, 0, "seq")
-        state = minn_rtl_metric_planar_pallas(
+        corr_pos, energy_total = minn_rtl_corr_energy_planar_pallas(
             ext,
             quarter_len=Q,
-            smooth_shift=smooth_shift,
-            threshold_value=threshold_value,
-            threshold_frac_bits=threshold_frac_bits,
             block=kernel_block,
             batch_tile=batch_tile,
+            channel_leading=channel_leading,
             interpret=interpret,
         )
         # the halo head reproduces the delay-line state exactly (window
-        # reach <= 3Q); the kernel's own smoothing/gating used LOCAL indices
-        # and is discarded -- corr/energy are index-free and exact
-        corr_pos = state.corr_positive[..., history:]
-        energy_total = state.energy_total[..., history:]
+        # reach <= 3Q); corr/energy are index-free and exact
+        corr_pos = corr_pos[..., history:]
+        energy_total = energy_total[..., history:]
 
         sidx = jax.lax.axis_index("seq")
         gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
@@ -693,7 +713,10 @@ def sharded_minn_rtl_detect_fused(
             tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
         )
 
-    spec_in = P("data", None, None, "seq")
+    spec_in = (
+        P(None, "data", "seq") if channel_leading
+        else P("data", None, None, "seq")
+    )
     rep = P("data")
     fn = shard_map(
         shard_fn,
@@ -721,12 +744,16 @@ def sharded_aa_detect_fused(
     emit_unclosed: bool = True,
     kernel_block: int = 16384,
     batch_tile: int = 8,
+    channel_leading: bool = False,
     interpret: bool | None = None,
 ):
     """Production multi-chip [A][A] detection: per-shard fused Pallas metric
     kernel + collective event merge with CFO capture at the peak.
 
-    iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq'.
+    iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq';
+    with `channel_leading=True`, the framework-native (2*branches, batch, L)
+    layout (rows [b0_i, b0_q, b1_i, b1_q]), avoiding the per-shard HBM
+    layout transpose.
     Returns (GateEvents, P_at_peak (..., 2, E) planar, M_at_peak (..., E)) --
     the same contract as `kernels.pallas_aa.aa_detect_fused_pallas` (CFO =
     angle(P)·fs/(2πL), frame start = peak − 2L + 1, reference
@@ -740,7 +767,8 @@ def sharded_aa_detect_fused(
     n = iq.shape[-1]
     n_seq = mesh.shape["seq"]
     n_data = mesh.shape["data"]
-    if n % n_seq or iq.shape[0] % n_data:
+    batch_dim = iq.shape[1] if channel_leading else iq.shape[0]
+    if n % n_seq or batch_dim % n_data:
         raise ValueError("batch/stream dims not divisible by mesh axes")
     block = n // n_seq
     if block < history:
@@ -751,13 +779,15 @@ def sharded_aa_detect_fused(
     h = max(int(hysteresis), 1)
 
     def shard_fn(blk):
-        # blk: (B_loc, branches, 2, block)
+        # blk: (B_loc, branches, 2, block), or (C, B_loc, block) when
+        # channel-leading (halo exchange works on the last axis either way)
         ext = halo_exchange(blk, history, 0, "seq")
         P_re, P_im, R = aa_metric_planar_pallas(
             ext,
             half_len=L,
             block=kernel_block,
             batch_tile=batch_tile,
+            channel_leading=channel_leading,
             interpret=interpret,
         )
         P_re = P_re[..., history:]
@@ -784,7 +814,10 @@ def sharded_aa_detect_fused(
             extras=(P_re, P_im, M),
         )
 
-    spec_in = P("data", None, None, "seq")
+    spec_in = (
+        P(None, "data", "seq") if channel_leading
+        else P("data", None, None, "seq")
+    )
     rep = P("data")
     fn = shard_map(
         shard_fn,
@@ -808,7 +841,7 @@ def sharded_zc_cfar_detect(
     mesh: Mesh,
     *,
     corr_window: int = 2048,
-    threshold_value: int = int(4.0 * (1 << 15) / 2048),
+    threshold_value: int | None = None,
     threshold_frac_bits: int = 15,
     min_corr_mag: float = 0.3,
     hysteresis: int = 256,
@@ -829,6 +862,10 @@ def sharded_zc_cfar_detect(
     from ofdm_sync_tpu.ops.detect import GateEvents
 
     W = corr_window
+    if threshold_value is None:
+        # the reference's 4x-local-mean CFAR threshold, derived from W (the
+        # compare is against the local SUM, so the value scales with 1/W)
+        threshold_value = int(4.0 * (1 << threshold_frac_bits) / W)
     n = corr_mag.shape[-1]
     n_seq = mesh.shape["seq"]
     n_data = mesh.shape["data"]

@@ -110,12 +110,12 @@ def test_aa_fused_batched(rng):
 
 
 def test_aa_channel_leading_layout_matches_natural(rng):
-    """Plane-major channel-leading input ((2*BR, batch, L), rows
-    [all I branches | all Q branches]) is bit-identical to the natural
-    (batch, BR, 2, L) layout path."""
+    """Framework-native branch-major channel-leading input ((2*BR, batch,
+    L), rows [b0_i, b0_q, b1_i, b1_q] -- same convention as the Minn
+    kernels) is bit-identical to the natural (batch, BR, 2, L) path."""
     batch, L_half, L = 2, 64, 2000
     iq = rng.standard_normal((batch, 2, 2, L)).astype(np.float32)
-    cl = jnp.asarray(iq.transpose(2, 1, 0, 3).reshape(4, batch, L))
+    cl = jnp.asarray(iq.reshape(batch, 4, L).transpose(1, 0, 2))
     ta = aa_detect_fused_pallas(jnp.asarray(iq), half_len=L_half, block=512)
     tb = aa_detect_fused_pallas(
         cl, half_len=L_half, block=512, channel_leading=True

@@ -207,3 +207,34 @@ def test_channel_leading_layout_matches_natural(rng):
         channel_leading=True,
     )
     _assert_tables_equal(ta, tb)
+
+
+def test_corr_energy_kernel_matches_metric(rng):
+    """The corr/energy-only kernel (the sharded path's building block)
+    equals the metric kernel's corr_positive/energy_total, in both layouts
+    and unbatched."""
+    from ofdm_sync_tpu.kernels.pallas_minn import (
+        minn_rtl_corr_energy_planar_pallas,
+    )
+
+    batch, Q, L = 3, 16, 1500
+    iq = rng.standard_normal((batch, 2, 2, L)).astype(np.float32)
+    st = minn_rtl_metric_planar_pallas(
+        jnp.asarray(iq), quarter_len=Q, **KW, block=512
+    )
+    c, e = minn_rtl_corr_energy_planar_pallas(
+        jnp.asarray(iq), quarter_len=Q, block=512
+    )
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(st.corr_positive))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(st.energy_total))
+    cl = jnp.asarray(iq.reshape(batch, 4, L).transpose(1, 0, 2))
+    c2, e2 = minn_rtl_corr_energy_planar_pallas(
+        cl, quarter_len=Q, block=512, channel_leading=True
+    )
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c))
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(e))
+    c1, e1 = minn_rtl_corr_energy_planar_pallas(
+        jnp.asarray(iq[0]), quarter_len=Q, block=512
+    )
+    assert c1.shape == (L,)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c)[0])

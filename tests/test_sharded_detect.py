@@ -238,3 +238,24 @@ def test_sharded_zc_cfar_matches_kernel(rng):
             np.asarray(t_s.peak_value)[b][:k],
             np.asarray(t_u.peak_value)[b][:k], rtol=1e-6,
         )
+
+
+def test_sharded_fused_channel_leading_matches_natural(rng):
+    """channel_leading=True sharded detection (zero per-shard transposes)
+    equals the natural-layout sharded path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.parallel.shard import sharded_minn_rtl_detect_fused
+
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    iq = _streams(rng, boundary_positions=True)
+    batch, _, _, L = iq.shape
+    cl = jnp.asarray(iq.reshape(batch, 4, L).transpose(1, 0, 2))
+    ta = sharded_minn_rtl_detect_fused(
+        jnp.asarray(iq), mesh, **KW, kernel_block=512
+    )
+    tb = sharded_minn_rtl_detect_fused(
+        cl, mesh, **KW, kernel_block=512, channel_leading=True
+    )
+    for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -246,10 +246,10 @@ def _noext_kernel(*, Qv: int, B: int, alpha: float, stage: str = "full"):
                 axis=-1,
             )
         )
-        # next block's corrections: suffix sums of the last W-1 samples
-        # su_tail[m] = sum(u[B-W2+m : B])  (m in [0, W2))
-        suf_u = Tu[..., -1:] - _shiftz(Tu, 1)
-        suf_p = Tp[..., -1:] - _shiftz(Tp, 1)
+        # next block's corrections: su_tail[m] = sum(u[B-W2+m+1 : B]),
+        # i.e. the strictly-after-prefix suffix Tu[-1] - Tu[B-W2+m]
+        suf_u = Tu[..., -1:] - Tu
+        suf_p = Tp[..., -1:] - Tp
         su_ref[...] = suf_u[..., B - W2:]
         sp_ref[...] = suf_p[..., B - W3:]
 
