@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser(
         "list", help="list detector families and system parameter sets"
     )
+    p_rx = sub.add_parser(
+        "fused_rx",
+        help="production receive chain on the fused Pallas [A][A] kernel: "
+             "detect -> CFO from event table -> LS EQ -> EVM",
+    )
+    p_rx.add_argument("--snr", type=float, default=10.0)
+    p_rx.add_argument("--channel", default=None,
+                      help="cir1 / cir2 / omit for AWGN")
+    p_rx.add_argument("--cfo", type=float, default=500.0)
+    p_rx.add_argument("--preamble-len", type=int, default=1024)
     p_wave = sub.add_parser(
         "waveform",
         help="plot preamble / QPSK symbol / frame views "
@@ -79,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "waveform":
         return _waveform_cmd(args)
+
+    if args.command == "fused_rx":
+        from ofdm_sync_tpu.pipelines.fused_rx import run_fused_rx
+
+        run_fused_rx(
+            snr_db=args.snr,
+            channel_name=args.channel,
+            cfo_hz=args.cfo,
+            preamble_length=args.preamble_len,
+        )
+        return 0
 
     mod = importlib.import_module(f"ofdm_sync_tpu.pipelines.{args.command}")
     mod.main()

@@ -519,10 +519,20 @@ class AADetector:
         from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
         from ofdm_sync_tpu.kernels.streaming import to_planar
 
-        x = _dev(rx)
-        if x.ndim == 1:
-            x = x[None]
-        iq = to_planar(x)
+        if isinstance(rx, np.ndarray):
+            # planar-ize on the host: the axon TPU backend cannot take or
+            # return complex buffers, and the kernel wants planar f32 anyway
+            x = rx[None] if rx.ndim == 1 else rx
+            iq = jnp.asarray(
+                np.stack([x.real, x.imag], axis=-2), jnp.float32
+            )
+            n = x.shape[-1]
+        else:
+            x = _dev(rx)
+            if x.ndim == 1:
+                x = x[None]
+            iq = to_planar(x)
+            n = x.shape[-1]
         table, P_pk, M_pk = aa_detect_fused_pallas(
             iq,
             half_len=self.L,
@@ -530,7 +540,6 @@ class AADetector:
             hysteresis=self.params.hysteresis,
             max_events=self.max_events,
         )
-        n = x.shape[-1]
         L = self.L
         fs = self.sys.sample_rate_hz
         P_pk = np.asarray(P_pk)  # planar (2, E)

@@ -65,3 +65,21 @@ def test_throughput_meter():
         label="test",
     )
     assert stats2["iters"] == 2
+
+
+def test_fused_rx_pipeline():
+    """Production receive chain: fused-kernel detection + CFO + EQ + EVM
+    lands within physical expectations (SNR 10 dB, 2 antennas)."""
+    from ofdm_sync_tpu.pipelines.fused_rx import run_fused_rx
+
+    r = run_fused_rx()
+    assert r.detected
+    assert abs(r.timing_error) <= 16   # the RTL conformance precedent
+    assert abs(r.cfo_error_hz) < 25.0  # design-doc AWGN bound (clipping bias)
+    assert r.evm_pct < 35.0            # ~ sqrt(1/SNR) / sqrt(2 antennas)
+
+
+def test_fused_rx_cli():
+    from ofdm_sync_tpu.__main__ import main
+
+    assert main(["fused_rx", "--snr", "15"]) == 0
