@@ -101,6 +101,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    # The reference-parity simulations are complex-dtype NumPy/JAX hybrids;
+    # the experimental axon TPU backend cannot transfer complex buffers to
+    # the host, so run them on CPU (they are seconds-long simulations -- the
+    # accelerator paths are `bench` and `fused_rx` above).
+    # (Must be set before the first backend query -- probing
+    # jax.default_backend() here would itself initialize the axon backend.)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     mod = importlib.import_module(f"ofdm_sync_tpu.pipelines.{args.command}")
     mod.main()
     return 0

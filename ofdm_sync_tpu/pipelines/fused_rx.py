@@ -73,7 +73,6 @@ def run_fused_rx(
     demodulate: detect -> frame timing + CFO from the event table ->
     correct -> LS EQ on the pilot -> EVM on the data symbol."""
     rng = np.random.default_rng(seed)
-    L = preamble_length // 2
     fs = SYS.sample_rate_hz
     # frame synthesis + demod math are tiny and complex-valued; run them on
     # the CPU backend (the experimental axon TPU backend cannot transfer
