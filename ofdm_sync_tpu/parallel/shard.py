@@ -916,6 +916,110 @@ def sharded_zc_cfar_detect(
     )
 
 
+def sharded_zc_detect(
+    rx: jax.Array,
+    mesh: Mesh,
+    *,
+    reference: jax.Array,
+    corr_window: int = 2048,
+    threshold_value: int | None = None,
+    threshold_frac_bits: int = 15,
+    min_corr_mag: float = 0.3,
+    hysteresis: int = 256,
+    max_events: int = 16,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+):
+    """End-to-end sharded ZC streaming detection from complex IQ.
+
+    rx: (batch, branches, L) complex, batch over 'data', L over 'seq'.
+    Per shard: FFT matched filter + per-branch normalization (reference
+    zc_v2.py:244-271, 486-498) over a (W + R - 1)-sample halo, then the
+    CFAR threshold and collective event merge.  Events cover correlation
+    outputs k in [0, L) -- the 'full'-convolution tail beyond the stream
+    end is dropped -- and equal `kernels.pallas_zc.zc_cfar_detect_pallas`
+    on the unsharded magnitudes truncated to L (up to FFT float
+    association; tests use clear peaks).
+    """
+    from ofdm_sync_tpu.ops.channel import fft_convolve_full
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    ref = jnp.asarray(reference)
+    R = ref.shape[-1]
+    W = corr_window
+    if threshold_value is None:
+        threshold_value = int(4.0 * (1 << threshold_frac_bits) / W)
+    batch, branches, n = rx.shape
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if n % n_seq or batch % n_data:
+        raise ValueError("batch/stream dims not divisible by mesh axes")
+    block = n // n_seq
+    halo = W + R - 1
+    if block < halo:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the W+R-1="
+            f"{halo} halo; use fewer seq shards"
+        )
+    kern = jnp.conj(ref[::-1])
+    ref_norm = jnp.sqrt(jnp.sum(jnp.abs(ref) ** 2))
+    h = max(int(hysteresis), 1)
+    eps = jnp.float32(1e-12)
+
+    def shard_fn(blk):
+        # blk: (B_loc, BR, block) complex
+        ext = halo_exchange(blk, halo, 0, "seq")
+        # matched filter ('full' conv index k uses x[k-R+1 .. k]); slice so
+        # lane i corresponds to windows ending at ext index R-1+i, i.e.
+        # global correlation outputs [s*block - W, s*block + block)
+        conv = fft_convolve_full(ext, kern)
+        num = conv[..., R - 1 : R - 1 + W + block]
+        p = jnp.abs(ext) ** 2
+        cs = jnp.cumsum(p, axis=-1)
+        win = cs - jnp.concatenate(
+            [jnp.zeros_like(cs[..., :R]), cs[..., :-R]], axis=-1
+        )
+        power = win[..., R - 1 : R - 1 + W + block]
+        denom = ref_norm * jnp.sqrt(jnp.maximum(power, eps))
+        corr = jnp.sum(num / denom, axis=1)  # (B_loc, W + block)
+        mag = jnp.abs(corr).astype(jnp.float32)
+
+        cs2 = jnp.cumsum(mag, axis=-1)
+        local_sum = (cs2 - jnp.concatenate(
+            [jnp.zeros_like(cs2[..., :W]), cs2[..., :-W]], axis=-1
+        ))[..., W:]
+        x_mag = mag[..., W:]  # (B_loc, block)
+
+        sidx = jax.lax.axis_index("seq")
+        gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
+        gi_b = jnp.broadcast_to(gi, x_mag.shape)
+        valid = gi_b >= W
+        above = (
+            valid
+            & (x_mag * jnp.float32(1 << threshold_frac_bits)
+               >= local_sum * jnp.float32(threshold_value))
+            & (x_mag >= jnp.float32(min_corr_mag))
+        )
+        return _cross_shard_event_merge(
+            above, x_mag, gi_b, h=h, E=max_events, n=n,
+            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        )
+
+    rep = P("data")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data", None, "seq"),),
+        out_specs=(rep,) * 8,
+        check_vma=False,
+    )
+    valid, closed, gs, gc, pi, pv, count, overflow = fn(rx)
+    return GateEvents(
+        valid=valid, closed=closed, gate_start=gs, gate_close=gc,
+        peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-parallel sweep sharding
 # ---------------------------------------------------------------------------

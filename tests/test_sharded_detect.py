@@ -259,3 +259,54 @@ def test_sharded_fused_channel_leading_matches_natural(rng):
     )
     for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_zc_detect_from_iq(rng):
+    """End-to-end sharded ZC detection (per-shard FFT matched filter +
+    normalization + CFAR + merge) == the fused CFAR kernel on the
+    unsharded normalized magnitudes truncated to L."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+    from ofdm_sync_tpu.ops.metrics import zc_normalized_correlation_per_branch
+    from ofdm_sync_tpu.ops.waveforms import build_pss_symbol
+    from ofdm_sync_tpu.parallel.shard import sharded_zc_detect
+    from ofdm_sync_tpu.params import SYS_30M72
+
+    ref = build_pss_symbol(SYS_30M72)  # 2048 samples
+    R = ref.shape[-1]
+    W = 1024
+    L_sig, batch = 16384, 2
+    rx = np.zeros((batch, 2, L_sig), complex)
+    for b in range(batch):
+        pos = L_sig // 4 - R // 2 + 128 * b  # correlation peak near a shard
+        rx[b, :, pos:pos + R] = np.stack([ref, 0.8 * ref])
+    rx += 0.01 * (
+        rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+    )
+
+    kw = dict(corr_window=W, min_corr_mag=0.1, hysteresis=64, max_events=8)
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    t_s = sharded_zc_detect(jnp.asarray(rx), mesh, reference=ref, **kw)
+
+    mags = np.stack([
+        np.abs(np.asarray(
+            zc_normalized_correlation_per_branch(jnp.asarray(rx[b]), ref)
+        ))[:L_sig]
+        for b in range(batch)
+    ]).astype(np.float32)
+    t_u = zc_cfar_detect_pallas(jnp.asarray(mags), **kw, block=2048)
+
+    for b in range(batch):
+        k = int(t_u.count[b])
+        assert int(t_s.count[b]) == k and k >= 1, (b, k)
+        for f in ("gate_start", "gate_close", "peak_idx", "valid", "closed"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(t_s, f))[b][:k],
+                np.asarray(getattr(t_u, f))[b][:k],
+                err_msg=f"{f} stream {b}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(t_s.peak_value)[b][:k],
+            np.asarray(t_u.peak_value)[b][:k], rtol=1e-4,
+        )
