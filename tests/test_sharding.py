@@ -168,3 +168,30 @@ def test_shard_batch_data_axis(mesh):
     y = shard_batch(x, mesh)
     assert y.shape == x.shape
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_distributed_bootstrap_single_process():
+    """Single-process path: initialize() is a no-op, the global mesh covers
+    the virtual device pool, and a sharded detector runs on it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ofdm_sync_tpu.parallel import distributed
+    from ofdm_sync_tpu.parallel.shard import sharded_minn_rtl_metric
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    distributed.initialize()  # no-op without a coordinator
+    mesh = distributed.make_global_stream_mesh(n_data=2)
+    assert mesh.shape["data"] == 2 and mesh.shape["seq"] == 4
+    mesh2 = distributed.make_global_stream_mesh(n_seq=8)
+    assert mesh2.shape["data"] == 1 and mesh2.shape["seq"] == 8
+    rx = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 2, 512)), jnp.complex64
+    )
+    out = sharded_minn_rtl_metric(
+        rx[0], mesh2, quarter_len=16, smooth_shift=3,
+        threshold_value=3276, threshold_frac_bits=15,
+    )
+    smooth = out[1]
+    assert np.isfinite(np.asarray(smooth)).all()
