@@ -140,6 +140,42 @@ def aa_metric_planar_pallas(
     return res
 
 
+def sc_metric_planar_pallas(
+    iq: jax.Array,
+    *,
+    n_fft: int,
+    block: int = 4096,
+    batch_tile: int = 8,
+    channel_leading: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused Schmidl-Cox metric (reference sc.py:42-78) on planar IQ.
+
+    The S&C metric is the [A][A] lag-L=N/2 correlation re-indexed to window
+    starts: ``P_sc(d) = conj(P_aa(d + N - 1))`` and
+    ``R_sc(d) = R_aa(d + N - 1)`` (the reference's recursive update unrolls
+    to the same two windowed sums) -- so this is a thin re-indexing wrapper
+    over the fused AA metric kernel.  Returns (M, P_planar (..., 2, out),
+    R), each of length L - N + 1 per stream, matching
+    `ops.metrics.sc_metric` up to float association.
+    """
+    half = n_fft // 2
+    P_re, P_im, R = aa_metric_planar_pallas(
+        iq,
+        half_len=half,
+        block=block,
+        batch_tile=batch_tile,
+        channel_leading=channel_leading,
+        interpret=interpret,
+    )
+    L_sig = P_re.shape[-1]
+    out_len = max(L_sig - n_fft + 1, 0)
+    sl = slice(n_fft - 1, n_fft - 1 + out_len)
+    P_re, P_im, R = P_re[..., sl], -P_im[..., sl], R[..., sl]
+    M = (P_re * P_re + P_im * P_im) / jnp.maximum(R, 1e-12) ** 2
+    return M, jnp.stack([P_re, P_im], axis=-2), R
+
+
 def _aa_kernel(
     x_ref,
     valid_ref,

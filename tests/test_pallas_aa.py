@@ -122,3 +122,36 @@ def test_aa_channel_leading_layout_matches_natural(rng):
     )
     for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sc_metric_fused_matches_xla(rng):
+    """The fused S&C metric (AA-kernel re-indexing) equals
+    ops.metrics.sc_metric, including the plateau-end pick."""
+    from ofdm_sync_tpu.kernels.pallas_aa import sc_metric_planar_pallas
+    from ofdm_sync_tpu.ops.metrics import find_plateau_end, sc_metric
+    from ofdm_sync_tpu.kernels.streaming import to_planar
+
+    n_fft, L = 256, 3000
+    x = (rng.standard_normal((2, L)) + 1j * rng.standard_normal((2, L)))
+    x[:, 800:800 + n_fft // 2] = x[:, 800 + n_fft // 2:800 + n_fft]  # [A][A]
+    M_ref, P_ref, R_ref = sc_metric(jnp.asarray(x), n_fft)
+    iq = np.asarray(to_planar(jnp.asarray(x)))[None].astype(np.float32)
+    M, P, R = sc_metric_planar_pallas(
+        jnp.asarray(iq), n_fft=n_fft, block=512
+    )
+    scale = float(np.abs(np.asarray(R_ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(R)[0], np.asarray(R_ref), atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(P)[0, 0], np.asarray(P_ref).real, atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(P)[0, 1], np.asarray(P_ref).imag, atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(M)[0], np.asarray(M_ref), atol=1e-4
+    )
+    d_ref = int(find_plateau_end(M_ref, cp_len=64))
+    d_fused = int(find_plateau_end(jnp.asarray(M)[0], cp_len=64))
+    assert d_ref == d_fused
