@@ -308,13 +308,19 @@ class ZCStreamingDetector:
         )
 
     @partial(jax.jit, static_argnums=0)
-    def _detect_jit(self, rx):
+    def _correlate(self, rx):
+        """Matched filter + (optional) per-branch normalization -- the one
+        definition shared by the XLA and fused paths."""
         ref = jnp.asarray(self.reference_waveform(), _C64)
         if self.normalize:
             corr = M.zc_normalized_correlation_per_branch(rx, ref)
         else:
             corr = jnp.sum(M.matched_filter(rx, ref), axis=0)
-        corr_mag = jnp.abs(corr)
+        return corr, jnp.abs(corr)
+
+    @partial(jax.jit, static_argnums=0)
+    def _detect_jit(self, rx):
+        corr, corr_mag = self._correlate(rx)
         # CFAR: corr * 2^frac >= running_sum_W(corr) * thresh, plus floor
         # (reference zc_v2.py:288-336)
         from ofdm_sync_tpu.ops.windows import running_sum_stream
@@ -366,12 +372,7 @@ class ZCStreamingDetector:
         from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
 
         x = _dev(rx)
-        ref = jnp.asarray(self.reference_waveform(), _C64)
-        if self.normalize:
-            corr = M.zc_normalized_correlation_per_branch(x, ref)
-        else:
-            corr = jnp.sum(M.matched_filter(x, ref), axis=0)
-        corr_mag = jnp.abs(corr)
+        _corr, corr_mag = self._correlate(x)
         table = zc_cfar_detect_pallas(
             corr_mag,
             corr_window=self.params.corr_window,
@@ -485,10 +486,11 @@ class AADetector:
         M_at_peak = state.M[table.peak_idx]
         return state, table, P_at_peak, M_at_peak
 
-    def detect(self, rx) -> tuple[M.AAMetricState, DetectionResult]:
-        x = _dev(rx)
-        state, table, P_at_peak, M_at_peak = self._detect_jit(x)
-        n = x.shape[-1]
+    def _assemble_events(self, table, n, p_re, p_im, m_pk) -> DetectionResult:
+        """Event list from a gate table + per-slot planar P and M at the
+        peak: cfo = angle(P) fs / (2 pi L), frame_start = peak - 2L + 1
+        (reference sync_aa.py:533-540).  The one definition shared by the
+        XLA and fused paths."""
         L = self.L
         fs = self.sys.sample_rate_hz
         events = []
@@ -496,18 +498,27 @@ class AADetector:
             np.flatnonzero(np.asarray(table.valid)),
             events_from_table(table, n, gate_end_mode="close"),
         ):
-            Pp = complex(P_at_peak[slot])
-            # cfo = angle(P) fs / (2 pi L); frame_start = peak - 2L + 1
-            # (reference sync_aa.py:533-540)
+            cfo = float(np.arctan2(p_im[slot], p_re[slot])) * fs / (
+                2 * np.pi * L
+            )
             events.append(
                 DetectionEvent(
                     detected_start=e["peak_index"] - 2 * L + 1,
-                    cfo_hz=float(np.angle(Pp)) * fs / (2 * np.pi * L),
-                    metric_at_peak=float(M_at_peak[slot]),
+                    cfo_hz=cfo,
+                    metric_at_peak=float(m_pk[slot]),
                     **e,
                 )
             )
-        return state, DetectionResult(events=events)
+        return DetectionResult(events=events)
+
+    def detect(self, rx) -> tuple[M.AAMetricState, DetectionResult]:
+        x = _dev(rx)
+        state, table, P_at_peak, M_at_peak = self._detect_jit(x)
+        P_at_peak = np.asarray(P_at_peak)
+        return state, self._assemble_events(
+            table, x.shape[-1], P_at_peak.real, P_at_peak.imag,
+            np.asarray(M_at_peak),
+        )
 
     def detect_fused(self, rx) -> DetectionResult:
         """TPU fast path: the fully-fused Pallas kernel (kernels.pallas_aa).
@@ -540,27 +551,10 @@ class AADetector:
             hysteresis=self.params.hysteresis,
             max_events=self.max_events,
         )
-        L = self.L
-        fs = self.sys.sample_rate_hz
         P_pk = np.asarray(P_pk)  # planar (2, E)
-        M_pk = np.asarray(M_pk)
-        events = []
-        for slot, e in zip(
-            np.flatnonzero(np.asarray(table.valid)),
-            events_from_table(table, n, gate_end_mode="close"),
-        ):
-            cfo = float(np.arctan2(P_pk[1, slot], P_pk[0, slot])) * fs / (
-                2 * np.pi * L
-            )
-            events.append(
-                DetectionEvent(
-                    detected_start=e["peak_index"] - 2 * L + 1,
-                    cfo_hz=cfo,
-                    metric_at_peak=float(M_pk[slot]),
-                    **e,
-                )
-            )
-        return DetectionResult(events=events)
+        return self._assemble_events(
+            table, n, P_pk[0], P_pk[1], np.asarray(M_pk)
+        )
 
     @staticmethod
     def best(result: DetectionResult) -> DetectionEvent | None:

@@ -80,9 +80,11 @@ def load_library() -> ctypes.CDLL:
     global _lib_cache
     if _lib_cache is not None:
         return _lib_cache
+    # '<=' so equal mtimes (coarse filesystems, archive extraction, fresh
+    # clones) rebuild rather than silently trusting a possibly-stale oracle
     stale = (
         not _LIB_PATH.exists()
-        or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime
+        or _LIB_PATH.stat().st_mtime <= _SRC.stat().st_mtime
     )
     if stale:
         _build()

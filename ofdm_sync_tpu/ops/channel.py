@@ -124,6 +124,10 @@ def awgn_noise_host(
     if signal.ndim == 1:
         p = np.mean(np.abs(signal) ** 2)
         if p == 0:
+            # NOTE: consumes no RNG draws, while an all-zero ROW of a 2-D
+            # input still consumes full draws below -- both mirror the
+            # reference exactly (reference channel.py:58-59 vs 71-77); the
+            # asymmetry is part of the bit-for-bit draw-order contract
             return np.zeros_like(signal)
         std = np.sqrt(p / snr_linear / 2)
         return std * (rng.standard_normal(signal.shape) + 1j * rng.standard_normal(signal.shape))
@@ -218,10 +222,32 @@ def apply_channel_multi_antenna(
 # ---------------------------------------------------------------------------
 
 def apply_cfo(samples: jax.Array, cfo_hz: float, fs_hz: float) -> jax.Array:
-    """Multiply by ``exp(j 2 pi f n / fs)``; same tone across branches."""
+    """Multiply by ``exp(j 2 pi f n / fs)``; same tone across branches.
+
+    cfo_hz/fs_hz must be static Python numbers.  The sample index is
+    decomposed into 12-bit digits with per-digit phase coefficients
+    pre-reduced mod 2*pi in double precision on the host, keeping the tone
+    accurate (phase error ~1e-3 rad) for arbitrarily long streams: a plain
+    float32 ``arange`` collapses past 2^24 samples (consecutive indices
+    become equal) and float64 compute is unavailable on TPU.
+    """
+    import math
+
     x = jnp.asarray(samples)
-    n = jnp.arange(x.shape[-1], dtype=jnp.float32)
-    tone = jnp.exp(1j * 2 * jnp.pi * cfo_hz * n / fs_hz).astype(jnp.complex64)
+    L = x.shape[-1]
+    if L == 0:
+        return x
+    two_pi = 2.0 * math.pi
+    a = two_pi * float(cfo_hz) / float(fs_hz)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    ph = jnp.zeros((L,), jnp.float32)
+    for shift in range(0, max(int(L - 1).bit_length(), 1), 12):
+        digit = ((idx >> shift) & 0xFFF).astype(jnp.float32)
+        c = math.fmod(a * float(1 << shift), two_pi)
+        ph = ph + jnp.mod(
+            digit * jnp.float32(c), jnp.float32(two_pi)
+        )
+    tone = (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(jnp.complex64)
     return x * tone
 
 

@@ -81,6 +81,24 @@ def extract_gate_events(
     """
     n = above.shape[-1]
     h = max(int(hysteresis), 1)
+    if tie not in ("first", "last"):
+        raise ValueError("tie must be 'first' or 'last'")
+    if n == 0:
+        # empty stream -> empty table (the per-slot reductions below have no
+        # identity on zero-size arrays); mirrors the metrics' empty-input
+        # convention (sc_metric/minn_metric return empty arrays)
+        E = max_events
+        zi = jnp.zeros((E,), jnp.int32)
+        return GateEvents(
+            valid=jnp.zeros((E,), bool),
+            closed=jnp.zeros((E,), bool),
+            gate_start=zi,
+            gate_close=zi,
+            peak_idx=zi,
+            peak_value=jnp.zeros((E,), track.dtype),
+            count=jnp.int32(0),
+            overflow=jnp.asarray(False),
+        )
     idx = jnp.arange(n, dtype=jnp.int32)
     above = above & (idx >= valid_from)
 
@@ -103,8 +121,6 @@ def extract_gate_events(
     # A one-hot masked reduction per slot beats scatter-based segment ops by
     # >10x on the TPU backend: each slot is a fused compare + reduce sweep,
     # and XLA fuses all slots into few passes over the arrays.
-    if tie not in ("first", "last"):
-        raise ValueError("tie must be 'first' or 'last'")
     neg_inf = jnp.full((), -jnp.inf, track.dtype)
     gate_start_l, peak_val_l, peak_idx_l, last_above_l = [], [], [], []
     for c in range(1, max_events + 1):

@@ -50,6 +50,11 @@ def estimate_cfo_from_cp(
 
 
 def _span_bounds(L: int, cp_start_est: int, n_fft: int, win: int, span: int):
+    """[d_lo, d_hi) search bounds.  NOTE: d_hi is EXCLUSIVE and capped at
+    L - (n_fft + win), so the very last valid offset is never searched --
+    this reproduces the reference's own loop bound exactly
+    (reference core.py:221-226, 331-333); do not "fix" it, parity depends
+    on it."""
     d_lo = max(0, cp_start_est - span)
     d_hi = min(L - (n_fft + win), cp_start_est + span)
     return d_lo, d_hi

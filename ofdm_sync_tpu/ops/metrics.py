@@ -53,6 +53,8 @@ def sc_metric(rx: jax.Array, n_fft: int) -> tuple[jax.Array, jax.Array, jax.Arra
     ``R(d) = sum_{k=d+half}^{d+N-1} |x[k]|^2`` -- two windowed sums.
     Returns (M, P, R), each of length L - N + 1, branch-summed.
     """
+    if n_fft % 2:
+        raise ValueError(f"n_fft must be even, got {n_fft}")
     x = _as2d(rx)
     half = n_fft // 2
     L = x.shape[-1]
@@ -284,11 +286,7 @@ def minn_rtl_metric(
     smooth = exp_smooth_shift(corr_positive, smooth_shift, update_mask=metric_valid)
 
     corr_scaled = smooth * (1 << threshold_frac_bits)
-    energy_scaled = (
-        energy_total * float(threshold_value)
-        if threshold_value != 0
-        else jnp.zeros_like(energy_total)
-    )
+    energy_scaled = energy_total * float(threshold_value)
     above = metric_valid & (corr_scaled >= energy_scaled)
     return MinnRTLMetricState(
         corr_total=corr_total,
@@ -326,7 +324,7 @@ def park_metric(
     fwd = frame_signal(x, ds.shape[0], half, hop=1, offset=half)     # x[d+k]
     idx_bwd = ds[:, None] - k[None, :]
     bwd = x[:, idx_bwd]                                              # x[d-k]
-    P = jnp.sum(bwd * fwd, axis=(0, -1) if x.ndim == 2 else -1)
+    P = jnp.sum(bwd * fwd, axis=(0, -1))  # _as2d guarantees 2-D
     # E uses the same forward window energy as the reference.
     E = jnp.sum(jnp.abs(fwd) ** 2, axis=(0, -1))
     M = (jnp.abs(P) ** 2) / jnp.maximum(E, _EPS) ** 2
