@@ -19,6 +19,13 @@ assert this for random chunk splits) up to float reassociation inside a
 chunk.  The cross-chunk carry is the same closed form the Pallas kernel uses
 (kernels/pallas_common.py): (last-above index, #gates) plus per-slot
 (start, last_above, peak_idx, peak_value).
+
+Index horizon: global sample indices are int32 (TPU-native width, the same
+class of finite counter the RTL carries in its pointers), so one epoch spans
+2^31 samples (~70 s at 30.72 Msps).  A live receiver calls
+`minn_rtl_stream_rebase` after consuming events -- well before the horizon
+-- to start a fresh epoch while keeping the IQ/smoothing carries; event
+indices are then relative to the rebase point.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ofdm_sync_tpu.ops.detect import GateEvents
+from ofdm_sync_tpu.ops.windows import shift_right
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
 _NEG_INF = float("-inf")
@@ -103,10 +111,9 @@ def minn_rtl_stream_step(
     ext = jnp.concatenate([state.hist, chunk.astype(jnp.float32)], axis=-1)
     new_hist = ext[..., -H:]
 
-    # metric datapath (same algebra as kernels.pallas_minn._metric_block)
-    def tap(x, d):
-        z = jnp.zeros_like(x[..., :d])
-        return jnp.concatenate([z, x[..., :-d]], axis=-1)
+    # metric datapath (same algebra as kernels.pallas_minn._metric_block);
+    # the delay-line primitive is the shared zero-primed shift
+    tap = shift_right
 
     i = ext[..., 0, :]
     q = ext[..., 1, :]
@@ -192,6 +199,40 @@ def minn_rtl_stream_step(
         ev_last=ev_last,
         ev_pidx=ev_pidx,
         ev_pval=ev_pval,
+    )
+
+
+def minn_rtl_stream_rebase(
+    state: MinnRTLStreamState, *, params: MinnRTLStreamParams
+) -> MinnRTLStreamState:
+    """Start a fresh index epoch: clear the event table and zero the global
+    sample counter, keeping the IQ tail, smoothing register, and warm-up
+    (the physical stream state).
+
+    Call after consuming `minn_rtl_stream_finalize`'s events, well before
+    the 2^31-sample int32 horizon (~70 s at 30.72 Msps).  The counter
+    restarts at 3Q-1 (the stream is already warmed up, so every
+    post-rebase sample stays metric-valid); an event index ``gi`` maps to
+    ``rebase_point + gi - (3Q - 1)`` globally.  A gate still open at the
+    rebase point is dropped -- rebase on a quiet stretch (no above samples
+    within the hysteresis window), as a real receiver's periodic re-arm
+    does.
+    """
+    E = params.max_events
+    tie_last = params.tie == "last"
+    # base restarts past the warm-up: the stream has been running, so the
+    # metric stays valid from the first post-rebase sample
+    valid_from = max(0, 3 * params.quarter_len - 1)
+    return MinnRTLStreamState(
+        hist=state.hist,
+        smooth=state.smooth,
+        base=jnp.asarray(valid_from, jnp.int32),
+        last_above=jnp.full((), -1, jnp.int32),
+        gate_count=jnp.zeros((), jnp.int32),
+        ev_start=jnp.full((E,), _I32_MAX, jnp.int32),
+        ev_last=jnp.full((E,), -1, jnp.int32),
+        ev_pidx=jnp.full((E,), -1 if tie_last else _I32_MAX, jnp.int32),
+        ev_pval=jnp.full((E,), _NEG_INF, jnp.float32),
     )
 
 

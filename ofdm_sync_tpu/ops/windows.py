@@ -66,6 +66,10 @@ def shift_right(x: jax.Array, delay: int, fill=0) -> jax.Array:
         return x
     if delay < 0:
         raise ValueError("delay must be non-negative")
+    if delay >= x.shape[-1]:
+        # the delay line is still priming at end of stream: all fill
+        # (a negative slice stop below would silently GROW the array)
+        return jnp.full_like(x, fill)
     # concatenate instead of jnp.pad: the axon TPU backend lacks complex pad
     prefix = jnp.full(x.shape[:-1] + (delay,), fill, dtype=x.dtype)
     return jnp.concatenate([prefix, x[..., : x.shape[-1] - delay]], axis=-1)

@@ -228,20 +228,23 @@ def run_grid_test(
 # TPU-native batched grid (new capability)
 # ---------------------------------------------------------------------------
 
+_GRID_PARAMS = AADetectorParams()  # threshold / hysteresis shared by all paths
+
+
+def _synth_config(noise_key, snr_db, fs_ratio, x, cfo_hz: float, fs_hz: float):
+    """One grid cell's quantized stream (complex in, complex out, traced):
+    on-device AWGN + CFO + 12-bit ADC, the shared stimulus of all grid
+    paths (reference sync_aa.py:712-735)."""
+    noise = awgn_noise_device(noise_key, x, snr_db)
+    rx = apply_cfo(x + noise, cfo_hz, fs_hz)
+    rms = jnp.sqrt(jnp.mean(jnp.abs(rx) ** 2))
+    return quantize_adc(rx, rms * fs_ratio)
+
+
 def _batched_single(rx_clean, noise_key, snr_db, fs_ratio, L: int, threshold: float,
                     hysteresis: int, fs_hz: float, cfo_hz: float):
     """One grid cell, fully on device.  vmapped over (snr, fs) configs."""
-    noise = awgn_noise_device(noise_key, rx_clean, snr_db)
-    rx = apply_cfo(rx_clean + noise, cfo_hz, fs_hz)
-    rms = jnp.sqrt(jnp.mean(jnp.abs(rx) ** 2))
-    full_scale = rms * fs_ratio
-    levels = 2**11
-
-    def q(v):
-        v = jnp.clip(v / full_scale, -1.0, 1.0 - 1.0 / levels)
-        return jnp.round(v * levels) / levels * full_scale
-
-    rx_q = q(rx.real) + 1j * q(rx.imag)
+    rx_q = _synth_config(noise_key, snr_db, fs_ratio, rx_clean, cfo_hz, fs_hz)
 
     from ofdm_sync_tpu.ops.metrics import aa_metric
     from ofdm_sync_tpu.ops.detect import extract_gate_events
@@ -269,6 +272,75 @@ def _batched_single(rx_clean, noise_key, snr_db, fs_ratio, L: int, threshold: fl
     }
 
 
+@functools.partial(jax.jit, static_argnames=("L", "fs_hz", "cfo_hz"))
+def _xla_sweep(keys, snr_grid, fs_grid, rx_planar, *, L, fs_hz, cfo_hz):
+    """Whole grid through the vmapped XLA detector (jitted once per
+    (shape, L); complex math stays inside the compiled program)."""
+    x = (rx_planar[..., 0, :] + 1j * rx_planar[..., 1, :]).astype(
+        jnp.complex64
+    )
+    return jax.vmap(
+        jax.vmap(
+            lambda k, s, f: _batched_single(
+                x, k, s, f, L,
+                _GRID_PARAMS.threshold, _GRID_PARAMS.hysteresis,
+                fs_hz, cfo_hz,
+            )
+        )
+    )(keys, snr_grid, fs_grid)
+
+
+def _grid_clean_stream(preamble_length: int, channel_name: str | None, seed: int):
+    """Shared TX/channel synthesis for the grid sweeps.  Runs on the CPU
+    backend: it is tiny, complex-valued, and host-fetched (the axon TPU
+    backend rejects eager complex ops and complex transfers).  Returns
+    (rx_planar float32 (BR, 2, L), true_start, L)."""
+    rng = np.random.default_rng(seed)
+    L = preamble_length // 2
+    preamble, _, _ = build_aa_preamble(preamble_length, SYS)
+    pilot, _ = build_aa_qpsk_symbol(rng, SYS)
+    data, _ = build_aa_qpsk_symbol(rng, SYS)
+    tx = assemble_frame(preamble, pilot, data, pre_pad=SYS.tx_pre_pad,
+                        post_pad=500)
+    with jax.default_device(jax.devices("cpu")[0]):
+        if channel_name is None:
+            rx_clean = np.stack([tx, tx])
+            peak_off = 0
+        else:
+            from ofdm_sync_tpu.ops.channel import (
+                apply_cir,
+                compute_channel_peak_offset,
+            )
+
+            cir = load_measured_cir(channel_name)[:2]
+            rx_clean = np.asarray(apply_cir(tx, cir))
+            peak_off = compute_channel_peak_offset(cir)
+    rx_planar = np.stack(
+        [rx_clean.real, rx_clean.imag], axis=-2
+    ).astype(np.float32)
+    return rx_planar, SYS.tx_pre_pad + peak_off, L
+
+
+def _grid_keys(snr_values, full_scale_ratios, seed):
+    snr = jnp.asarray(snr_values, jnp.float32)
+    fs = jnp.asarray(full_scale_ratios, jnp.float32)
+    snr_grid, fs_grid = jnp.meshgrid(snr, fs, indexing="ij")
+    keys = jax.random.split(
+        jax.random.key(seed), snr_grid.size
+    ).reshape(snr_grid.shape)
+    return keys, snr_grid, fs_grid
+
+
+def _grid_outputs(out, shape, true_start, cfo_hz, snr_values,
+                  full_scale_ratios):
+    out = {k: np.asarray(v).reshape(shape) for k, v in out.items()}
+    out["timing_error"] = out["frame_start"] - true_start
+    out["cfo_error"] = out["cfo_est"] - cfo_hz
+    out["snr_values"] = np.asarray(snr_values)
+    out["full_scale_ratios"] = np.asarray(full_scale_ratios)
+    return out
+
+
 def run_grid_test_batched(
     preamble_length: int = 1024,
     channel_name: str | None = None,
@@ -279,46 +351,16 @@ def run_grid_test_batched(
 ):
     """Entire (snr x full_scale) grid for one channel/preamble-length as ONE
     jitted, vmapped device program.  Returns dict of (n_snr, n_fs) arrays."""
-    rng = np.random.default_rng(seed)
-    L = preamble_length // 2
-    preamble, _, _ = build_aa_preamble(preamble_length, SYS)
-    pilot, _ = build_aa_qpsk_symbol(rng, SYS)
-    data, _ = build_aa_qpsk_symbol(rng, SYS)
-    tx = assemble_frame(preamble, pilot, data, pre_pad=SYS.tx_pre_pad, post_pad=500)
-
-    if channel_name is None:
-        rx_clean = np.stack([tx, tx])
-        peak_off = 0
-    else:
-        from ofdm_sync_tpu.ops.channel import apply_cir, compute_channel_peak_offset
-
-        cir = load_measured_cir(channel_name)[:2]
-        rx_clean = np.asarray(apply_cir(tx, cir))
-        peak_off = compute_channel_peak_offset(cir)
-    true_start = SYS.tx_pre_pad + peak_off
-
-    snr = jnp.asarray(snr_values, jnp.float32)
-    fs = jnp.asarray(full_scale_ratios, jnp.float32)
-    snr_grid, fs_grid = jnp.meshgrid(snr, fs, indexing="ij")
-    keys = jax.random.split(jax.random.key(seed), snr_grid.size).reshape(snr_grid.shape)
-
-    fn = jax.jit(
-        jax.vmap(
-            jax.vmap(
-                lambda k, s, f: _batched_single(
-                    jnp.asarray(rx_clean, jnp.complex64), k, s, f, L,
-                    0.15, 128, SYS.sample_rate_hz, cfo_hz,
-                )
-            )
-        )
+    rx_planar, true_start, L = _grid_clean_stream(
+        preamble_length, channel_name, seed
     )
-    out = fn(keys, snr_grid, fs_grid)
-    out = {k: np.asarray(v) for k, v in out.items()}
-    out["timing_error"] = out["frame_start"] - true_start
-    out["cfo_error"] = out["cfo_est"] - cfo_hz
-    out["snr_values"] = np.asarray(snr_values)
-    out["full_scale_ratios"] = np.asarray(full_scale_ratios)
-    return out
+    keys, snr_grid, fs_grid = _grid_keys(snr_values, full_scale_ratios, seed)
+    out = _xla_sweep(
+        keys, snr_grid, fs_grid, jnp.asarray(rx_planar),
+        L=L, fs_hz=float(SYS.sample_rate_hz), cfo_hz=float(cfo_hz),
+    )
+    return _grid_outputs(out, snr_grid.shape, true_start, cfo_hz,
+                         snr_values, full_scale_ratios)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "fs_hz", "cfo_hz"))
@@ -329,26 +371,20 @@ def _fused_sweep(keys, snr_grid, fs_grid, rx_planar, *, L, fs_hz, cfo_hz):
     the compiled program; the axon backend rejects eager complex ops)."""
     from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
 
-    x = rx_planar[..., 0, :] + 1j * rx_planar[..., 1, :]
+    x = (rx_planar[..., 0, :] + 1j * rx_planar[..., 1, :]).astype(
+        jnp.complex64
+    )
 
     def synth(k, s, f):
-        noise = awgn_noise_device(k, x, s)
-        rx = apply_cfo(x + noise, cfo_hz, fs_hz)
-        rms = jnp.sqrt(jnp.mean(jnp.abs(rx) ** 2))
-        full_scale = rms * f
-        levels = 2**11
-
-        def q(v):
-            v = jnp.clip(v / full_scale, -1.0, 1.0 - 1.0 / levels)
-            return jnp.round(v * levels) / levels * full_scale
-
-        return jnp.stack([q(rx.real), q(rx.imag)], axis=-2)
+        rx_q = _synth_config(k, s, f, x, cfo_hz, fs_hz)
+        return jnp.stack([rx_q.real, rx_q.imag], axis=-2)
 
     iq = jax.vmap(jax.vmap(synth))(keys, snr_grid, fs_grid)
     ncfg = snr_grid.size
     iq = iq.reshape((ncfg,) + iq.shape[2:])  # (ncfg, BR, 2, L)
     table, P_pk, M_pk = aa_detect_fused_pallas(
-        iq, half_len=L, threshold=0.15, hysteresis=128, max_events=8,
+        iq, half_len=L, threshold=_GRID_PARAMS.threshold,
+        hysteresis=_GRID_PARAMS.hysteresis, max_events=8,
     )
     score = jnp.where(table.valid, M_pk, -jnp.inf)
     best = jnp.argmax(score, axis=-1)  # (ncfg,)
@@ -385,56 +421,16 @@ def run_grid_test_fused(
     loop (reference sync_aa.py:829-899) becomes one launch.  Returns the
     same dict of (n_snr, n_fs) arrays as `run_grid_test_batched`.
     """
-    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
-
-    rng = np.random.default_rng(seed)
-    L = preamble_length // 2
-    preamble, _, _ = build_aa_preamble(preamble_length, SYS)
-    pilot, _ = build_aa_qpsk_symbol(rng, SYS)
-    data, _ = build_aa_qpsk_symbol(rng, SYS)
-    tx = assemble_frame(preamble, pilot, data, pre_pad=SYS.tx_pre_pad,
-                        post_pad=500)
-
-    if channel_name is None:
-        rx_clean = np.stack([tx, tx])
-        peak_off = 0
-    else:
-        from ofdm_sync_tpu.ops.channel import (
-            apply_cir,
-            compute_channel_peak_offset,
-        )
-
-        # clean-channel synthesis is tiny, complex-valued, and fetched to
-        # host: run it on the CPU backend (the axon TPU backend rejects
-        # eager complex ops and complex host transfers)
-        with jax.default_device(jax.devices("cpu")[0]):
-            cir = load_measured_cir(channel_name)[:2]
-            rx_clean = np.asarray(apply_cir(tx, cir))
-            peak_off = compute_channel_peak_offset(cir)
-    true_start = SYS.tx_pre_pad + peak_off
-
-    snr = jnp.asarray(snr_values, jnp.float32)
-    fs = jnp.asarray(full_scale_ratios, jnp.float32)
-    snr_grid, fs_grid = jnp.meshgrid(snr, fs, indexing="ij")
-    keys = jax.random.split(
-        jax.random.key(seed), snr_grid.size
-    ).reshape(snr_grid.shape)
-    fs_hz = SYS.sample_rate_hz
-
-    rx_planar = np.stack(
-        [rx_clean.real, rx_clean.imag], axis=-2
-    ).astype(np.float32)
+    rx_planar, true_start, L = _grid_clean_stream(
+        preamble_length, channel_name, seed
+    )
+    keys, snr_grid, fs_grid = _grid_keys(snr_values, full_scale_ratios, seed)
     out = _fused_sweep(
         keys, snr_grid, fs_grid, jnp.asarray(rx_planar),
         L=L, fs_hz=float(SYS.sample_rate_hz), cfo_hz=float(cfo_hz),
     )
-    shape = snr_grid.shape
-    out = {k: np.asarray(v).reshape(shape) for k, v in out.items()}
-    out["timing_error"] = out["frame_start"] - true_start
-    out["cfo_error"] = out["cfo_est"] - cfo_hz
-    out["snr_values"] = np.asarray(snr_values)
-    out["full_scale_ratios"] = np.asarray(full_scale_ratios)
-    return out
+    return _grid_outputs(out, snr_grid.shape, true_start, cfo_hz,
+                         snr_values, full_scale_ratios)
 
 
 # ---------------------------------------------------------------------------

@@ -35,10 +35,14 @@ def trace(log_dir: str = "/tmp/ofdm_sync_trace", *, create_perfetto: bool = Fals
 
 
 def _sync(out) -> None:
-    """Synchronize on device work via a scalar fetch of the first leaf."""
+    """Synchronize on device work via a SINGLE-ELEMENT fetch of the first
+    leaf (indexed on device first -- fetching a whole metric array would
+    time the host transfer, and the axon tunnel moves ~300 MB/s)."""
     leaves = jax.tree.leaves(out)
     if leaves:
-        np.asarray(leaves[0]).ravel()
+        leaf = leaves[0]
+        if getattr(leaf, "size", 1):
+            np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
 
 
 @dataclass

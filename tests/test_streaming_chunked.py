@@ -145,3 +145,54 @@ def test_finalize_midstream_is_nondestructive():
     state = minn_rtl_stream_step(state, jnp.asarray(iq[..., 1500:]), params=PARAMS)
     end = minn_rtl_stream_finalize(state, params=PARAMS)
     assert int(end.count) >= int(mid.count)
+
+
+def test_stream_rebase_fresh_epoch(rng):
+    """Rebase clears the event table and restarts the index epoch while
+    keeping the physical stream state -- the int32-horizon story for
+    unbounded live streams."""
+    from ofdm_sync_tpu.kernels.streaming_chunked import minn_rtl_stream_rebase
+
+    Q = PARAMS.quarter_len
+    iq1 = _make_stream(np.random.default_rng(0), L=4000, n_pre=1)
+    state = minn_rtl_stream_init(PARAMS, branches=2)
+    state = minn_rtl_stream_step(state, jnp.asarray(iq1), params=PARAMS)
+    t1 = minn_rtl_stream_finalize(state, params=PARAMS)
+    assert int(t1.count) >= 1
+
+    state = minn_rtl_stream_rebase(state, params=PARAMS)
+    t_empty = minn_rtl_stream_finalize(state, params=PARAMS)
+    assert int(t_empty.count) == 0
+
+    # second epoch: new preamble at a known offset from the rebase point
+    pos = 900
+    sig = np.zeros(4000, complex)
+    pre = build_minn_rtl_preamble("qpsk_freq", rng=np.random.default_rng(7), Q=Q)
+    sig[pos:pos + 5 * Q] = pre
+    rx = np.stack([sig, 0.8 * sig])
+    rx = rx + 0.05 * (
+        rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+    )
+    iq2 = np.asarray(to_planar(jnp.asarray(rx)))
+    state = minn_rtl_stream_step(state, jnp.asarray(iq2), params=PARAMS)
+    t2 = minn_rtl_stream_finalize(state, params=PARAMS)
+    assert int(t2.count) >= 1
+    best = int(np.argmax(np.where(np.asarray(t2.valid),
+                                  np.asarray(t2.peak_value), -np.inf)))
+    # gi maps to rebase_point + gi - (3Q - 1): peak ~1Q after preamble end
+    peak_rel = int(t2.peak_idx[best]) - (3 * Q - 1)
+    expected_peak = pos + 6 * Q - 1  # preamble 5Q + 1Q, inclusive index
+    assert abs(peak_rel - expected_peak) <= 8
+
+
+def test_metric_on_stream_shorter_than_lag():
+    """Streams shorter than the correlator lag produce the zero-primed RTL
+    output instead of crashing (shift_right delay >= length)."""
+    from ofdm_sync_tpu.kernels.streaming import minn_rtl_metric_planar
+
+    iq = jnp.zeros((2, 2, 100), jnp.float32)  # 100 < 3Q = 96? use Q big
+    st = minn_rtl_metric_planar(
+        iq, quarter_len=512, smooth_shift=3,
+        threshold_value=3276, threshold_frac_bits=15,
+    )
+    assert not bool(np.asarray(st.above_threshold).any())
