@@ -176,6 +176,47 @@ def sc_metric_planar_pallas(
     return M, jnp.stack([P_re, P_im], axis=-2), R
 
 
+def minn_metric_planar_pallas(
+    iq: jax.Array,
+    *,
+    n_fft: int,
+    block: int = 4096,
+    batch_tile: int = 8,
+    channel_leading: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused standard-Minn metric (reference minn.py:59-112) on planar IQ.
+
+    The identical-quarter correlations are the lag-Q=N/4 [A][A] windows at
+    two taps: ``P(d) = conj(P_aa(d+2Q-1) + P_aa(d+4Q-1))`` and
+    ``R(d) = R_aa(d+2Q-1) + R_aa(d+3Q-1) + R_aa(d+4Q-1)`` -- another thin
+    re-indexing of the fused AA metric kernel.  Returns
+    (M, P_planar (..., 2, out), R), each of length L - N + 1 per stream,
+    matching `ops.metrics.minn_metric` up to float association.
+    """
+    Q = n_fft // 4
+    P_re, P_im, R_aa = aa_metric_planar_pallas(
+        iq,
+        half_len=Q,
+        block=block,
+        batch_tile=batch_tile,
+        channel_leading=channel_leading,
+        interpret=interpret,
+    )
+    L_sig = P_re.shape[-1]
+    out_len = max(L_sig - n_fft + 1, 0)
+
+    def tap(a, off):
+        return a[..., off - 1 : off - 1 + out_len]
+
+    Pr = tap(P_re, 2 * Q) + tap(P_re, 4 * Q)
+    Pi = -(tap(P_im, 2 * Q) + tap(P_im, 4 * Q))
+    R = tap(R_aa, 2 * Q) + tap(R_aa, 3 * Q) + tap(R_aa, 4 * Q)
+    aligned = jnp.clip(Pr, 0.0, None)
+    M = aligned**2 / jnp.maximum(R, 1e-12) ** 2
+    return M, jnp.stack([Pr, Pi], axis=-2), R
+
+
 def _aa_kernel(
     x_ref,
     valid_ref,

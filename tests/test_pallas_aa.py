@@ -155,3 +155,36 @@ def test_sc_metric_fused_matches_xla(rng):
     d_ref = int(find_plateau_end(M_ref, cp_len=64))
     d_fused = int(find_plateau_end(jnp.asarray(M)[0], cp_len=64))
     assert d_ref == d_fused
+
+
+def test_minn_metric_fused_matches_xla(rng):
+    """The fused standard-Minn metric (AA-kernel re-indexing) equals
+    ops.metrics.minn_metric, including the peak pick."""
+    from ofdm_sync_tpu.kernels.pallas_aa import minn_metric_planar_pallas
+    from ofdm_sync_tpu.ops.metrics import find_minn_peak_standard, minn_metric
+    from ofdm_sync_tpu.kernels.streaming import to_planar
+
+    n_fft, L = 256, 3000
+    Q = n_fft // 4
+    x = (rng.standard_normal((2, L)) + 1j * rng.standard_normal((2, L)))
+    A = x[:, 900:900 + Q]
+    x[:, 900:900 + n_fft] = np.concatenate([A, A, -A, -A], axis=-1)
+    M_ref, P_ref, R_ref = minn_metric(jnp.asarray(x), n_fft)
+    iq = np.asarray(to_planar(jnp.asarray(x)))[None].astype(np.float32)
+    M, P, R = minn_metric_planar_pallas(
+        jnp.asarray(iq), n_fft=n_fft, block=512
+    )
+    scale = float(np.abs(np.asarray(R_ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(R)[0], np.asarray(R_ref), atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(P)[0, 0], np.asarray(P_ref).real, atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(P)[0, 1], np.asarray(P_ref).imag, atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(np.asarray(M)[0], np.asarray(M_ref), atol=1e-4)
+    pk_ref = find_minn_peak_standard(M_ref)
+    pk_fused = find_minn_peak_standard(jnp.asarray(M)[0])
+    assert int(pk_ref[0]) == int(pk_fused[0])
