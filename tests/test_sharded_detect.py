@@ -310,3 +310,30 @@ def test_sharded_zc_detect_from_iq(rng):
             np.asarray(t_s.peak_value)[b][:k],
             np.asarray(t_u.peak_value)[b][:k], rtol=1e-4,
         )
+
+
+def test_sharded_aa_fused_channel_leading(rng):
+    """channel_leading sharded AA path == natural-layout sharded AA path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.parallel.shard import sharded_aa_detect_fused
+    from ofdm_sync_tpu.ops.waveforms import build_aa_preamble
+
+    total, L_sig, batch = 256, 4096, 2
+    L = total // 2
+    pre, _, _ = build_aa_preamble(total)
+    iq = np.zeros((batch, 2, 2, L_sig), np.float32)
+    for b in range(batch):
+        pos = 1000 + 300 * b
+        iq[b, :, 0, pos:pos + total] = np.stack([pre.real, 0.7 * pre.real])
+        iq[b, :, 1, pos:pos + total] = np.stack([pre.imag, 0.7 * pre.imag])
+    iq += 0.02 * rng.standard_normal(iq.shape).astype(np.float32)
+    cl = jnp.asarray(iq.reshape(batch, 4, L_sig).transpose(1, 0, 2))
+
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    kw = dict(half_len=L, kernel_block=512)
+    ta = sharded_aa_detect_fused(jnp.asarray(iq), mesh, **kw)
+    tb = sharded_aa_detect_fused(cl, mesh, **kw, channel_leading=True)
+    for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ta[0].count[0]) >= 1
