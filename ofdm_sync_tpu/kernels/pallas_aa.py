@@ -61,10 +61,11 @@ def _aa_metric_rows(x, hist_ref, *, L: int, H: int):
     pim = jnp.sum(sign * ext * swapped_d, axis=0)
     pw = jnp.sum(ext * ext, axis=0)
 
-    P_re = common.window_sum_guarded(pre, L, guard=H)[..., H:]  # (NB, B)
-    P_im = common.window_sum_guarded(pim, L, guard=H)[..., H:]
-    R = common.window_sum_guarded(pw, L, guard=H)[..., H:]
-    return P_re, P_im, R
+    # all three window sums share the same width: stack and run ONE ladder
+    # (a third of the op issues; per-row arithmetic is bit-identical)
+    z = jnp.stack([pre, pim, pw], axis=0)  # (3, NB, H+B)
+    W = common.window_sum_guarded(z, L, guard=H)[..., H:]  # (3, NB, B)
+    return W[0], W[1], W[2]
 
 
 def _aa_metric_kernel(x_ref, pre_ref, pim_ref, r_ref, hist_ref, *, L, H):
