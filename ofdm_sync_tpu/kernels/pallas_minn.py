@@ -82,8 +82,24 @@ def _corr_energy_rows(x, hist_ref, *, Q: int, H: int):
     hist_ref[...] = ext[..., -H:]
     u = jnp.sum(ext * common.roll(ext, Q), axis=0)  # (NB, H+B) quarter prod
     p = jnp.sum(ext * ext, axis=0)  # (NB, H+B) instantaneous power
-    corr_total = common.window_sum_guarded(u, 2 * Q, guard=H)
-    energy_total = common.window_sum_guarded(p, 3 * Q, guard=H)
+    if Q >= 1 and (Q & (Q - 1)) == 0:
+        # power-of-two Q (the flagship): the 2Q and 3Q = 2Q + Q window
+        # ladders share EVERY doubling -- run them jointly on a stacked
+        # array (half the op issues; per-row arithmetic bit-identical):
+        #   corr   = 2Q-span of u
+        #   energy = Q-span of p + (2Q-span of p shifted by Q)
+        z = jnp.stack([u, p], axis=0)  # (2, NB, H+B)
+        d = 1
+        while d < Q:
+            z = z + common.roll(z, d)
+            d *= 2
+        p_q = z[1]                      # Q-span running sum of p
+        z = z + common.roll(z, Q)       # both rows to 2Q span
+        corr_total = z[0]
+        energy_total = p_q + common.roll(z[1], Q)
+    else:
+        corr_total = common.window_sum_guarded(u, 2 * Q, guard=H)
+        energy_total = common.window_sum_guarded(p, 3 * Q, guard=H)
     return jnp.maximum(corr_total[..., H:], 0.0), energy_total[..., H:]
 
 
