@@ -201,7 +201,22 @@ def golden_aa(rx, L: int):
 
 def golden_gate_events(above, track, hysteresis: int, tie: str, emit_unclosed: bool,
                        valid_from: int = 0):
-    """Sequential gate/hysteresis/peak FSM oracle shared by all variants."""
+    """Sequential gate/hysteresis/peak FSM oracle shared by all variants.
+
+    .. note:: **Minn-RTL peak-track duality -- a recorded decision, not a bug.**
+       The reference is internally inconsistent about WHICH value the Minn-RTL
+       gate FSM peak-tracks: the RTL and its Python model track the *unsmoothed*
+       ``corr_positive`` (reference ref/minn_preamble_detector.sv:352-358,
+       minn_rtl.py:777-785), while the cocotb testbench's golden FSM tracks the
+       *smoothed* metric (reference ref/test_minn_preamble_detector.py:133-136)
+       and absorbs the resulting peak shift inside its +-16-sample tolerance
+       (reference ref/test_minn_preamble_detector.py:446-451).  This framework
+       deliberately follows the RTL: every Minn-RTL detect path passes
+       ``track=corr_positive`` with ``tie='last'`` (models/detectors.py,
+       kernels/streaming.py, kernels/pallas_minn.py), and
+       tests/test_rtl_conformance.py re-applies the reference's own +-16-sample
+       precedent when comparing against smooth-tracked expectations.  Do NOT
+       "fix" either side to agree with the other."""
     above = np.asarray(above, bool)
     track = np.asarray(track, float)
     n = above.size
