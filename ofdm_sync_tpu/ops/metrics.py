@@ -304,14 +304,108 @@ def minn_rtl_metric(
 # Park conjugate-symmetric correlation (reference park.py:64-114)
 # ---------------------------------------------------------------------------
 
+def _poly_mul(u: jax.Array, v: jax.Array) -> jax.Array:
+    """Batched full linear convolution along the last axis (complex).
+
+    Small operands unroll to shift-adds (cheaper than tiny FFTs); larger ones
+    use the same radix-FFT product as `ops.channel.fft_convolve_full`.
+    """
+    s, t = u.shape[-1], v.shape[-1]
+    n = s + t - 1
+    if min(s, t) <= 8:
+        a, b = (u, v) if s <= t else (v, u)
+        out = jnp.zeros(jnp.broadcast_shapes(u.shape[:-1], v.shape[:-1]) + (n,),
+                        jnp.result_type(u, v))
+        for k in range(a.shape[-1]):
+            out = out.at[..., k : k + b.shape[-1]].add(a[..., k : k + 1] * b)
+        return out
+    return fft_convolve_full(u, v)
+
+
+def _place_strided(chunks: jax.Array, stride: int, base: int, out_len: int) -> jax.Array:
+    """Scatter chunk j (last-2 axis) at output offset ``base + j*stride``.
+
+    Requires chunk length <= stride (placements never overlap), which turns
+    the scatter into a pad + reshape -- no gather/scatter ops.
+    """
+    *lead, J, C = chunks.shape
+    assert C <= stride
+    flat = jnp.pad(
+        chunks, [(0, 0)] * len(lead) + [(0, 0), (0, stride - C)]
+    ).reshape(*lead, J * stride)
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(base, 0)])
+    if flat.shape[-1] < out_len:
+        flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, out_len - flat.shape[-1])])
+    return flat[..., :out_len]
+
+
+def park_banded_selfconv(x: jax.Array, half: int) -> jax.Array:
+    """``P(d) = sum_{k=0}^{half-1} x[d-k] x[d+k]`` for all d, in O(L log half).
+
+    The Park correlation is the even-index diagonal of the *banded* self-
+    convolution ``S[m] = sum_{|u-v| <= 2half-2, u+v=m} x[u]x[v]`` via
+    ``P(d) = (S[2d] + x[d]^2) / 2`` (SURVEY.md build-plan step 6: Park as an
+    FFT self-convolution, replacing the reference's O(L*N) per-offset loop,
+    reference park.py:102-113).
+
+    Decompose x into length-``half`` blocks.  On the even output grid every
+    pair (u, v) with u+v even has u-v even, so:
+      * within-block and adjacent-block pairs are entirely in-band -- their
+        full block-pair convolutions are exact (the only out-of-band pairs
+        have odd u-v and land on odd outputs, which are discarded);
+      * distance-2 block pairs contribute a *triangle* (u_loc >= v_loc + 2),
+        evaluated by binary recursion: at each level the cross half-block
+        convolution is exact on even outputs, and the two diagonal quadrants
+        recurse.  All placements are stride-uniform => pad+reshape, no
+        scatters.
+    Cost: O(log half) batched FFT convolutions over the stream.
+
+    x: (..., L) complex, ``half`` a power of two.  Returns (..., L) with
+    P[d] valid for d in [half, L-half); other positions hold edge partials.
+    """
+    h = int(half)
+    if h & (h - 1):
+        raise ValueError(f"park_banded_selfconv requires power-of-two half, got {h}")
+    L = x.shape[-1]
+    lead = x.shape[:-1]
+    nblocks = -(-L // h) + 2  # +2 zero blocks so a+2 lookups stay in range
+    Lp = nblocks * h
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, Lp - L)])
+    out_len = 2 * Lp
+
+    blocks = xp.reshape(*lead, nblocks, h)
+    # r0: within-block pairs (|u-v| <= h-1, always in band)
+    S = _place_strided(_poly_mul(blocks, blocks), 2 * h, 0, out_len)
+    # r1: adjacent-block pairs (x2 for both orders; the lone out-of-band
+    # corner pair has odd u-v -> odd output -> discarded)
+    S = S + 2.0 * _place_strided(
+        _poly_mul(blocks[..., :-1, :], blocks[..., 1:, :]), 2 * h, h, out_len
+    )
+    # r2: distance-2 block pairs, triangle u_loc >= v_loc + 2, by recursion.
+    s = h // 2
+    while s >= 2:
+        rows = xp.reshape(*lead, Lp // (2 * s), 2 * s)
+        shift = h // s  # rows spanning two blocks
+        U = rows[..., : rows.shape[-2] - shift, s:]   # upper halves, block a
+        V = rows[..., shift:, :s]                     # lower halves, block a+2
+        S = S + 2.0 * _place_strided(
+            _poly_mul(U, V), 4 * s, 2 * h + s, out_len
+        )
+        s //= 2
+
+    even = S[..., ::2]  # S[2d], length Lp
+    return (even[..., :L] + x * x) * 0.5
+
+
 def park_metric(
     rx: jax.Array, n_fft: int
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Centered correlation ``P(d) = sum_k x[d-k] x[d+k]`` over half = N/2.
 
     Returns (ds, M, P, E) with ds the evaluated centers [half, L-half-1]
-    (reference park.py:87-113).  Vectorized as two index-framed gathers and a
-    row reduction -- pure VPU work.
+    (reference park.py:87-113).  P comes from the banded-FFT self-convolution
+    (`park_banded_selfconv`, O(L log half)); E is one windowed sum.  Leading
+    batch axes of `rx` beyond the branch axis broadcast through both.
     """
     x = _as2d(rx)
     half = n_fft // 2
@@ -320,13 +414,19 @@ def park_metric(
         z = jnp.zeros((0,))
         return z.astype(jnp.int32), z, z.astype(jnp.complex64), z
     ds = jnp.arange(half, L - half, dtype=jnp.int32)
-    k = jnp.arange(half)
-    fwd = frame_signal(x, ds.shape[0], half, hop=1, offset=half)     # x[d+k]
-    idx_bwd = ds[:, None] - k[None, :]
-    bwd = x[:, idx_bwd]                                              # x[d-k]
-    P = jnp.sum(bwd * fwd, axis=(0, -1))  # _as2d guarantees 2-D
-    # E uses the same forward window energy as the reference.
-    E = jnp.sum(jnp.abs(fwd) ** 2, axis=(0, -1))
+    if half & (half - 1):
+        # non-power-of-two half: direct framed-gather fallback (O(L*half))
+        k = jnp.arange(half)
+        fwd = frame_signal(x, ds.shape[0], half, hop=1, offset=half)  # x[d+k]
+        idx_bwd = ds[:, None] - k[None, :]
+        bwd = x[:, idx_bwd]                                           # x[d-k]
+        P = jnp.sum(bwd * fwd, axis=(0, -1))
+        E = jnp.sum(jnp.abs(fwd) ** 2, axis=(0, -1))
+    else:
+        P = jnp.sum(park_banded_selfconv(x, half), axis=0)[half : L - half]
+        # E(d) = energy of x[d : d+half] -- one windowed sum
+        p = jnp.abs(x) ** 2
+        E = jnp.sum(sliding_sum_valid(p, half), axis=0)[half : L - half]
     M = (jnp.abs(P) ** 2) / jnp.maximum(E, _EPS) ** 2
     return ds, M, P, E
 

@@ -60,6 +60,33 @@ def test_park_metric_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got_M), want_M, rtol=5e-3, atol=1e-6)
 
 
+@pytest.mark.parametrize("half", [8, 128, 1024])
+def test_park_banded_selfconv_exact(rng, half):
+    """Banded-FFT self-convolution == the direct centered sum, at full
+    reference scale (half=1024) and including block-boundary centers."""
+    L = max(4 * half + 37, 5000)
+    x = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(np.complex64)
+    got = np.asarray(M.park_banded_selfconv(jnp.asarray(x), half))
+    k = np.arange(half)
+    scale = np.abs(x).max() ** 2 * half
+    for d in list(range(half, half + 3)) + [2 * half - 1, 2 * half, 3 * half + 5,
+                                            L - half - 1]:
+        want = np.sum(x[d - k] * x[d + k])
+        assert abs(got[d] - want) < 1e-5 * scale, d
+
+
+def test_park_banded_selfconv_batched(rng):
+    """Leading batch axes broadcast through the banded path (the batched
+    grid-sweep form)."""
+    B, L, half = 3, 2000, 64
+    x = (rng.standard_normal((B, 2, L)) + 1j * rng.standard_normal((B, 2, L))
+         ).astype(np.complex64)
+    got = np.asarray(M.park_banded_selfconv(jnp.asarray(x), half))
+    assert got.shape == (B, 2, L)
+    one = np.asarray(M.park_banded_selfconv(jnp.asarray(x[1, 0]), half))
+    np.testing.assert_allclose(got[1, 0], one, rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("branches", [1, 2])
 def test_minn_rtl_metric_matches_oracle(rng, branches):
     Q = 64
