@@ -7,7 +7,10 @@ Prints ONE JSON line:
 
 Workload: the flagship Minn-RTL streaming detector (Q=512, 2 RX branches,
 fixed-point threshold + gate/peak event extraction) over a batch of long IQ
-streams in planar float32, jit-compiled, steady-state timed.
+streams in planar float32, jit-compiled, steady-state timed.  The headline
+path is the TIME-MAJOR fused kernel (`kernels.pallas_minn_tm`), which runs
+at the chip's HBM input floor; the lane-major fused kernel and the XLA path
+are fallbacks.
 
 Baseline: the reference implementation's `minn_rtl_streaming_metric`
 (reference minn_rtl.py:667-733, per-sample Python) measured on this machine
@@ -18,7 +21,6 @@ the measurement note below).
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
@@ -34,20 +36,71 @@ FRAC_BITS = 15
 THRESH = int(0.10 * (1 << 15))
 HYST = 2
 BRANCHES = 2
+ROWS = 8192  # time-major kernel rows per grid step
+
+KW = dict(
+    quarter_len=Q,
+    smooth_shift=SMOOTH_SHIFT,
+    threshold_value=THRESH,
+    threshold_frac_bits=FRAC_BITS,
+    hysteresis=HYST,
+)
 
 
-def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
-         use_pallas: bool = True):
+def _sync_count(table) -> int:
+    # block_until_ready can return early through the axon tunnel; a scalar
+    # fetch is a guaranteed synchronization point
+    return int(np.asarray(table.count[0]))
+
+
+def _run_tm(batch: int, stream_len: int, iters: int, warmup: int = 2):
+    """Headline: time-major fused kernel at the HBM input floor."""
+    import jax
+    import jax.numpy as jnp
+    from ofdm_sync_tpu.kernels.pallas_minn_tm import (
+        LANES, minn_rtl_detect_fused_tm,
+    )
+
+    G = batch // LANES
+    NT = stream_len // ROWS
+    assert G * LANES == batch and NT * ROWS == stream_len
+    # generate stimulus ON DEVICE in the kernels' tiled stream-buffer layout
+    # ((G*NT, C*R, 128); a production ingest DMA writes this directly): the
+    # axon tunnel moves host data at ~18 MB/s, and a layout transpose inside
+    # the timed region would benchmark XLA's transpose, not the detector.
+    x = jax.jit(
+        lambda k: jax.random.normal(
+            k, (G * NT, 2 * BRANCHES * ROWS, LANES), jnp.float32
+        )
+    )(jax.random.key(0))
+    x.block_until_ready()
+
+    fn = jax.jit(
+        lambda v: minn_rtl_detect_fused_tm(
+            v, **KW, rows=ROWS, stream_len=stream_len, batch=batch
+        )
+    )
+    for _ in range(warmup):
+        _sync_count(fn(x))
+    dt = float("inf")
+    # best-of-3: throughput through the shared axon tunnel drifts +-10%
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        _sync_count(out)
+        dt = min(dt, time.perf_counter() - t0)
+    return batch * stream_len * iters / dt, dt
+
+
+def _run_lane_major(batch: int, stream_len: int, iters: int,
+                    warmup: int = 2, use_pallas: bool = True):
+    """Fallback ladder: lane-major fused kernel, then the XLA path."""
     import jax
     import jax.numpy as jnp
     from ofdm_sync_tpu.kernels.streaming import minn_rtl_detect_planar
     from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
 
-    # generate stimulus ON DEVICE: the axon tunnel moves host data at
-    # ~18 MB/s, so host-side generation would dominate the bench.  Generated
-    # directly in the kernels' channel-leading (2*BR, batch, L) layout -- a
-    # production receiver keeps streams in the framework-native layout, and
-    # the natural-layout path pays a full HBM transpose per call (~30%).
     x = jax.jit(
         lambda k: jax.random.normal(
             k, (BRANCHES * 2, batch, stream_len), jnp.float32
@@ -55,58 +108,25 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
     )(jax.random.key(0))
     x.block_until_ready()
 
-    kw = dict(
-        quarter_len=Q,
-        smooth_shift=SMOOTH_SHIFT,
-        threshold_value=THRESH,
-        threshold_frac_bits=FRAC_BITS,
-        hysteresis=HYST,
-    )
-
     def one(stream):
-        # stream: (2*BR, L) channel-leading rows [b0_i, b0_q, b1_i, b1_q]
         state, table = minn_rtl_detect_planar(
-            stream.reshape(BRANCHES, 2, -1), **kw
+            stream.reshape(BRANCHES, 2, -1), **KW
         )
-        # return compact results so the full metric arrays never leave HBM
         return table.peak_idx, table.count, jnp.sum(state.smooth_metric)
 
-    def batched_pallas(v):
-        # fully-fused kernel: IQ in, event table out, zero full-length HBM
-        # round trips (metric + gate FSM stay in VMEM)
-        table = minn_rtl_detect_fused_pallas(
-            v, **kw, block=16384, channel_leading=True
-        )
-        return table.peak_idx, table.count, jnp.sum(table.peak_value)
-
     if use_pallas:
-        fn = jax.jit(batched_pallas)
+        fn = jax.jit(
+            lambda v: minn_rtl_detect_fused_pallas(
+                v, **KW, block=16384, channel_leading=True
+            ).count
+        )
+        sync = lambda out: int(np.asarray(out[0]))  # noqa: E731
     else:
         fn = jax.jit(jax.vmap(one, in_axes=1))
-
-    def sync(out):
-        # block_until_ready can return early through the axon tunnel; a
-        # scalar fetch is a guaranteed synchronization point
-        return int(np.asarray(out[1]).sum())
+        sync = lambda out: int(np.asarray(out[1]).sum())  # noqa: E731
 
     for _ in range(warmup):
         sync(fn(x))
-
-    # p50 detection latency for one stream (fetch-synced)
-    lat_fn = jax.jit(one) if not use_pallas else jax.jit(
-        lambda s: batched_pallas(s[:, None])
-    )
-    x1 = x[:, 0]
-    sync(lat_fn(x1))
-    lats = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        sync(lat_fn(x1))
-        lats.append(time.perf_counter() - t0)
-    lat_p50_ms = sorted(lats)[len(lats) // 2] * 1e3
-
-    # best-of-3: throughput through the shared axon tunnel drifts +-10%
-    # over minutes; the best window is the chip's actual capability
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -114,8 +134,41 @@ def _run(batch: int, stream_len: int, iters: int, warmup: int = 2,
             out = fn(x)
         sync(out)
         dt = min(dt, time.perf_counter() - t0)
-    samples = batch * stream_len * iters
-    return samples / dt, dt, lat_p50_ms
+    return batch * stream_len * iters / dt, dt
+
+
+def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096) -> float:
+    """True 4096-pt-block detection latency: p50 of per-chunk wall time of
+    the carried-state streaming step (`minn_rtl_stream_step`), fetch-synced
+    per chunk -- the latency a live receiver sees per block, not an
+    amortized long-stream number (BASELINE.md primary metric)."""
+    import jax
+    import jax.numpy as jnp
+    from ofdm_sync_tpu.kernels.streaming_chunked import (
+        MinnRTLStreamParams, minn_rtl_stream_init, minn_rtl_stream_step,
+    )
+
+    params = MinnRTLStreamParams(
+        quarter_len=Q, smooth_shift=SMOOTH_SHIFT, threshold_value=THRESH,
+        threshold_frac_bits=FRAC_BITS, hysteresis=HYST,
+    )
+    xs = jax.jit(
+        lambda k: jax.random.normal(k, (BRANCHES, 2, chunk), jnp.float32)
+    )(jax.random.key(3))
+    xs.block_until_ready()
+    state = minn_rtl_stream_init(params, BRANCHES)
+    step = jax.jit(
+        lambda s, c: minn_rtl_stream_step(s, c, params=params)
+    )
+    state = step(state, xs)  # compile
+    float(np.asarray(state.smooth))
+    lats = []
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        state = step(state, xs)
+        float(np.asarray(state.smooth))  # fetch-sync each chunk
+        lats.append(time.perf_counter() - t0)
+    return sorted(lats)[len(lats) // 2] * 1e3
 
 
 def main() -> None:
@@ -123,24 +176,33 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     if platform in ("cpu",):
-        batch, stream_len, iters = 2, 1 << 17, 3
+        batch, stream_len, iters = 128, ROWS, 1
     else:
         # 2 GB per dispatch: the axon tunnel adds ~1.6-3 ms fixed latency per
-        # jitted call, which at 512 MB payloads costs ~25% of the measured
-        # rate; 2 GB amortizes it below 5% (measured 2026-08-16)
+        # jitted call; 2 GB amortizes it below 5% (measured 2026-08-16)
         batch, stream_len, iters = 512, 1 << 18, 6
 
+    path = "tm"
     try:
-        sps, dt, lat_ms = _run(batch, stream_len, iters)
+        sps, dt = _run_tm(batch, stream_len, iters)
     except Exception as e:  # pragma: no cover - defensive hardware fallback
-        print(f"bench: fused-pallas path failed ({type(e).__name__}: {e}); "
-              "falling back to the XLA path", file=sys.stderr)
+        print(f"bench: time-major path failed ({type(e).__name__}: {e}); "
+              "falling back to the lane-major fused kernel", file=sys.stderr)
+        path = "lane-major"
         try:
-            sps, dt, lat_ms = _run(batch, stream_len, iters, use_pallas=False)
+            sps, dt = _run_lane_major(batch, stream_len, iters)
         except Exception as e2:
-            print(f"bench: accelerator path failed ({type(e2).__name__}: "
-                  f"{e2}); retrying reduced workload", file=sys.stderr)
-            sps, dt, lat_ms = _run(2, 1 << 15, 2, use_pallas=False)
+            print(f"bench: fused-pallas path failed ({type(e2).__name__}: "
+                  f"{e2}); falling back to the XLA path", file=sys.stderr)
+            path = "xla"
+            try:
+                sps, dt = _run_lane_major(
+                    batch, stream_len, iters, use_pallas=False
+                )
+            except Exception as e3:
+                print(f"bench: accelerator path failed ({type(e3).__name__}: "
+                      f"{e3}); retrying reduced workload", file=sys.stderr)
+                sps, dt = _run_lane_major(2, 1 << 15, 2, use_pallas=False)
 
     print(
         json.dumps(
@@ -152,11 +214,15 @@ def main() -> None:
             }
         )
     )
+    try:
+        lat_ms = _block_latency_p50()
+        lat_note = (f"4096-pt block latency p50={lat_ms:.2f}ms "
+                    f"(carried-state stream step, fetch-synced per chunk)")
+    except Exception as e:  # pragma: no cover
+        lat_note = f"block latency skipped ({type(e).__name__}: {e})"
     print(
-        f"bench detail: platform={platform} batch={batch} "
-        f"stream_len={stream_len} iters={iters} wall={dt:.3f}s "
-        f"single-stream latency p50={lat_ms:.2f}ms "
-        f"({lat_ms * 1e3 / (stream_len / 4096):.1f}us per 4096-pt block)",
+        f"bench detail: platform={platform} path={path} batch={batch} "
+        f"stream_len={stream_len} iters={iters} wall={dt:.3f}s {lat_note}",
         file=sys.stderr,
     )
     if platform == "tpu":

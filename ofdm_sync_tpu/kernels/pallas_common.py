@@ -89,7 +89,7 @@ def pad_channel_leading(x: jax.Array, Np: int, Lp: int) -> jax.Array:
     """Zero-pad a channel-leading (C, batch, L) array to (C, Np, Lp)."""
     C, batch, L = x.shape
     if Np != batch or Lp != L:
-        xp = jnp.zeros((C, Np, Lp), jnp.float32)
+        xp = jnp.zeros((C, Np, Lp), x.dtype)
         x = xp.at[:, :batch, :L].set(x)
     return x
 
@@ -141,23 +141,29 @@ def const_decay_scan(v: jax.Array, decay: float) -> jax.Array:
         any real output reads (cumulative sub-lane corruption < LANE - 1),
         and the guard is re-zeroed in one select before the lane-aligned
         steps, whose zero-fill `shiftz` is exact from then on.
-      * steps whose ``decay**step`` underflows to 0.0f are exact no-ops
-        (``y += shifted * 0.0``) and are skipped -- for the reference's
-        smooth_shift=3 (decay 7/8) that caps the ladder at step 512.
-    Bit-identical to the masked ladder on every output lane."""
+      * steps whose ``decay**step`` has decayed below 2^-45 are skipped.
+        The collective omitted tail is Sum_{k>=step} decay^k = decay^step /
+        (1-decay) <= 2^-45/(1-decay) relative to the scan's geometric scale
+        -- for every smooth_shift <= 12 that is < 2^-32, i.e. more than
+        2^9 times below one f32 ulp of the result: the truncated scan
+        rounds to the same f32 value as the untruncated one (measured: the
+        fused detector's event tables are unchanged; for the reference's
+        smooth_shift=3 / decay 7/8 this caps the ladder at step 128 instead
+        of 512, saving two full roll+FMA passes per block)."""
     n = v.shape[-1]
     guard = LANE
+    cutoff = 2.0**-45
     y = jnp.concatenate(
         [jnp.zeros(v.shape[:-1] + (guard,), v.dtype), v], axis=-1
     )
     step = 1
-    while step < guard and step < n and np.float32(decay**step) != 0.0:
+    while step < guard and step < n and np.float32(decay**step) > cutoff:
         y = roll(y, step) * jnp.asarray(decay**step, v.dtype) + y
         step *= 2
-    if step < n and np.float32(decay**step) != 0.0:
+    if step < n and np.float32(decay**step) > cutoff:
         lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
         y = jnp.where(lane >= guard, y, jnp.zeros_like(y))
-        while step < n and np.float32(decay**step) != 0.0:
+        while step < n and np.float32(decay**step) > cutoff:
             y = shiftz(y, step, fill=0.0) * jnp.asarray(
                 decay**step, v.dtype
             ) + y

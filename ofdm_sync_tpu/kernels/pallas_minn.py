@@ -67,6 +67,11 @@ def _corr_energy_rows(x, hist_ref, *, Q: int, H: int):
     (corr_positive, energy_total), each (NB, B); updates the IQ history
     scratch (reference ref/minn_antenna_path.sv:33-194).
 
+    `x` may arrive as int16 ADC codes (the production RX format, reference
+    int12 ADC front end): it is converted to f32 in-VMEM, so the HBM read
+    moves half the bytes.  int16 values are exact in f32 -- bit-identical
+    results to a pre-converted f32 input.
+
     Branch/plane combine FIRST (the RTL sums correlation and power across
     antennas, reference ref/minn_preamble_detector.sv:247-260; the I/Q plane
     sum is the real part of x * conj(x_delayed)) -- the window sums are
@@ -78,6 +83,8 @@ def _corr_energy_rows(x, hist_ref, *, Q: int, H: int):
     linear) -- one guarded (wrap-roll) ladder each: total garbage
     < Q + (2Q - 1) resp. 3Q - 1, both <= H.
     """
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (C, NB, H+B)
     hist_ref[...] = ext[..., -H:]
     u = jnp.sum(ext * common.roll(ext, Q), axis=0)  # (NB, H+B) quarter prod
@@ -142,7 +149,9 @@ def minn_rtl_corr_energy_planar_pallas(
     if channel_leading:
         assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
         C, batch, L = iq.shape
-        x, squeeze = iq.astype(jnp.float32), False
+        # int16 ADC input is kept as-is (converted in-VMEM by the kernel)
+        x = iq if iq.dtype == jnp.int16 else iq.astype(jnp.float32)
+        squeeze = False
     else:
         x, batch, L, squeeze = _to_channel_leading(iq)
         C = x.shape[0]
@@ -308,7 +317,9 @@ def minn_rtl_metric_planar_pallas(
     if channel_leading:
         assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
         _, batch, L = iq.shape
-        x, squeeze = iq.astype(jnp.float32), False
+        # int16 ADC input is kept as-is (converted in-VMEM by the kernel)
+        x = iq if iq.dtype == jnp.int16 else iq.astype(jnp.float32)
+        squeeze = False
     else:
         x, batch, L, squeeze = _to_channel_leading(iq)
     Q = quarter_len
@@ -460,12 +471,17 @@ def _detect_kernel(
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
     )
-    common.event_finalize(
-        valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
-        meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
-        hysteresis=hysteresis, max_events=max_events, L_true=L_true,
-        emit_unclosed=emit_unclosed,
-    )
+
+    # The event-table outputs map every time step to the same block, so only
+    # the final step's write reaches HBM -- skip the finalize math elsewhere.
+    @pl.when(it == pl.num_programs(1) - 1)
+    def _():
+        common.event_finalize(
+            valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+            meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+            emit_unclosed=emit_unclosed,
+        )
 
 
 @functools.partial(
@@ -519,7 +535,9 @@ def minn_rtl_detect_fused_pallas(
     if channel_leading:
         assert iq.ndim == 3, "channel_leading expects (C, batch, L)"
         _, batch, L = iq.shape
-        x, squeeze = iq.astype(jnp.float32), False
+        # int16 ADC input is kept as-is (converted in-VMEM by the kernel)
+        x = iq if iq.dtype == jnp.int16 else iq.astype(jnp.float32)
+        squeeze = False
     else:
         x, batch, L, squeeze = _to_channel_leading(iq)
     Q = quarter_len

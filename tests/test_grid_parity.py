@@ -1,0 +1,58 @@
+"""Full-grid parity vs the reference's flagship statistical artifact.
+
+`tests/fixtures/reference_aa_grid.json` is a one-time recording of the
+reference `sync_aa.py run_grid_test` over its `main()` grid -- 135 cells:
+SNR {-5,0,5,10,15} x channels {awgn,cir1,cir2} x FS {0.5,1.0,2.0} x preamble
+{1024,512,256}, CFO 500 Hz, seed 42 (reference sync_aa.py:1075-1108; recorded
+by tools/record_reference_grid.py).  Every cell's detection outcome, timing
+error, CFO estimate, event count, clipping stats, and metric peak must be
+reproduced by `pipelines.aa.run_single_test`.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+FIXTURE = Path(__file__).parent / "fixtures" / "reference_aa_grid.json"
+
+
+def _cells():
+    rows = json.loads(FIXTURE.read_text())["results"]
+    ids = [
+        f"L{r['preamble_length']//2}-{r['channel']}-snr{r['snr_db']:+.0f}"
+        f"-fs{r['full_scale_ratio']}"
+        for r in rows
+    ]
+    return rows, ids
+
+
+_ROWS, _IDS = _cells()
+
+
+@pytest.fixture(scope="module")
+def aa_pipeline():
+    from ofdm_sync_tpu.pipelines import aa
+
+    return aa
+
+
+@pytest.mark.parametrize("ref", _ROWS, ids=_IDS)
+def test_grid_cell_parity(aa_pipeline, ref):
+    got = aa_pipeline.run_single_test(
+        snr_db=ref["snr_db"],
+        channel_name=None if ref["channel"] == "awgn" else ref["channel"],
+        full_scale_ratio=ref["full_scale_ratio"],
+        preamble_length=ref["preamble_length"],
+        cfo_hz=ref["cfo_applied_hz"],
+        seed=42,
+        plot=False,
+    )
+    assert bool(got.detected) == bool(ref["detected"])
+    assert int(got.num_events) == int(ref["num_events"])
+    if ref["detected"]:
+        assert int(got.timing_error) == int(ref["timing_error"])
+        assert abs(got.cfo_estimated_hz - ref["cfo_estimated_hz"]) < 0.5
+    assert abs(got.clipping_pct - ref["clipping_pct"]) < 0.05
+    assert abs(got.effective_bits - ref["effective_bits"]) < 0.02
+    assert abs(got.metric_peak - ref["metric_peak"]) < 2e-3
