@@ -165,32 +165,34 @@ def part_cpu_mesh() -> dict:
     return out
 
 
-def projection(cpu_part: dict) -> dict:
+def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
     """Projected samples/s scaling efficiency from measured rate + counted
-    communication.  Weak scaling: each chip keeps the bench workload
-    (batch 512 x 262144).  Strong seq scaling: one batch-512 super-stream
-    split over N chips."""
+    communication + the measured per-chip shard overhead.
+
+    * weak data:   more streams per added chip -- zero collectives.
+    * weak seq:    each chip keeps the bench workload's per-chip stream
+      length (the BASELINE "1 chip -> 1 host -> N hosts" shape): halo cost
+      is fixed per dispatch, so efficiency is per-chip-overhead-bound.
+    * strong seq:  one fixed super-stream split N ways -- halo fraction
+      grows as shards shrink (reported for completeness; not the target's
+      regime).
+    """
     batch, L = 512, 1 << 18
     t_comp = batch * L / SINGLE_CHIP_SPS
-
-    def eff(n_chips, bw, lat, rounds, halo_bytes, seq_split):
-        if seq_split:
-            tc = t_comp / n_chips
-        else:
-            tc = t_comp  # weak scaling: same per-chip work, no halo
-            halo_bytes = 0
-            rounds = 0 if n_chips == 1 else rounds
-        t_comm = halo_bytes / bw + rounds * lat
-        return tc / (tc + t_comm)
 
     # collective rounds counted from HLO for the (1,8) mesh
     m18 = cpu_part["meshes"]["data1xseq8"]["collectives_per_dispatch"]
     rounds = sum(m18.values())
-    halo = C * batch * HALO * 4
+    halo = C * batch * (HALO + 256) * 4
+
+    def eff(tc, bw, lat):
+        t_comm = halo / bw + rounds * lat
+        return tc / (tc * overhead_ratio + t_comm)
 
     return {
         "assumptions": {
             "single_chip_samples_per_sec": SINGLE_CHIP_SPS,
+            "measured_per_chip_shard_overhead_ratio": overhead_ratio,
             "ici_bw_bytes_per_sec": ICI_BW,
             "dcn_bw_bytes_per_sec": DCN_BW,
             "collective_latency_ici_s": COLL_LAT_ICI,
@@ -205,11 +207,13 @@ def projection(cpu_part: dict) -> dict:
             "efficiency_8chip": 1.0,
             "efficiency_2host": 1.0,
         },
+        "weak_scaling_seq_8chip_ici": round(eff(t_comp, ICI_BW, COLL_LAT_ICI), 4),
+        "weak_scaling_seq_2host_dcn": round(eff(t_comp, DCN_BW, COLL_LAT_DCN), 4),
         "strong_scaling_seq_8chip_ici": round(
-            eff(8, ICI_BW, COLL_LAT_ICI, rounds, halo, True), 4
+            eff(t_comp / 8, ICI_BW, COLL_LAT_ICI), 4
         ),
         "strong_scaling_seq_2host_dcn": round(
-            eff(2, DCN_BW, COLL_LAT_DCN, rounds, halo, True), 4
+            eff(t_comp / 2, DCN_BW, COLL_LAT_DCN), 4
         ),
     }
 
@@ -235,7 +239,7 @@ def main() -> None:
         raise SystemExit(1)
     cpu_part = json.loads(lines[-1])
 
-    result = {"cpu_mesh": cpu_part, "projection": projection(cpu_part)}
+    result = {"cpu_mesh": cpu_part}
     try:
         import jax
 
@@ -243,15 +247,20 @@ def main() -> None:
             result["real_chip"] = part_real_chip()
     except Exception as e:  # pragma: no cover
         result["real_chip"] = {"error": f"{type(e).__name__}: {e}"}
+    overhead = result.get("real_chip", {}).get("shard_overhead_ratio", 1.05)
+    result["projection"] = projection(cpu_part, overhead_ratio=overhead)
 
     out_path = Path(__file__).parent / "SCALING_r02.json"
     out_path.write_text(json.dumps(result, indent=1))
     proj = result["projection"]
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "weak_8chip": proj["weak_scaling_data_parallel"]["efficiency_8chip"],
+        "weak_data_8chip": proj["weak_scaling_data_parallel"][
+            "efficiency_8chip"
+        ],
+        "weak_seq_8chip_ici": proj["weak_scaling_seq_8chip_ici"],
+        "weak_seq_2host_dcn": proj["weak_scaling_seq_2host_dcn"],
         "strong_seq_8chip_ici": proj["strong_scaling_seq_8chip_ici"],
-        "strong_seq_2host_dcn": proj["strong_scaling_seq_2host_dcn"],
         "mesh11_overhead_ratio": result.get("real_chip", {}).get(
             "shard_overhead_ratio"
         ),

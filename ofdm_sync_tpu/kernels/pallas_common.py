@@ -267,6 +267,8 @@ def event_update(
     tpval_ref,
     extras=(),       # sequence of (NB, B) arrays captured at the peak
     extra_refs=(),   # matching sequence of (NB, LANE) scratch refs
+    block_start=None,  # first gi of this block (defaults it*B; sharded
+    #                    callers pass a global base + it*B)
 ) -> None:
     """Merge this block's gates into the event table.  The whole body is
     predicated on "any above sample or an open carried gate", so quiet blocks
@@ -275,9 +277,11 @@ def event_update(
     import jax.experimental.pallas as pl
 
     h = max(int(hysteresis), 1)
+    if block_start is None:
+        block_start = it * B
     carry_la = gate_ref[..., 0:1]
     any_above = jnp.max(above.astype(jnp.int32)) > 0
-    open_gate = (carry_la >= 0) & (it * B - carry_la <= h)
+    open_gate = (carry_la >= 0) & (block_start - carry_la <= h)
     any_open = jnp.max(open_gate.astype(jnp.int32)) > 0
 
     @pl.when(any_above | any_open)

@@ -197,6 +197,7 @@ def _metric_block(
     valid_from: int,
     threshold_value: int,
     threshold_frac_bits: int,
+    base=None,
 ):
     """Shared per-block metric datapath.  Returns (corr_pos, smooth,
     energy_out, above, gi), each (NB, B); updates hist/carry scratch.
@@ -204,10 +205,19 @@ def _metric_block(
     x and hist are laid out (C, NB, ...) -- channel rows LEADING -- so the
     tiled dims are (NB=8, lanes) with zero sublane padding; a (NB, C=4, ...)
     layout tiles (4, lanes) and wastes half the VPU on the ext-level passes.
+
+    `base` (optional dynamic scalar) offsets the sample index to a GLOBAL
+    stream position -- the sharded path runs this kernel per seq-shard on a
+    halo-extended block, and both the warm-up freeze (`valid_from` compares
+    globally, so shard 0's zero halo freezes exactly like the unsharded
+    warm-up while interior shards' halos contribute to the smoothing scan)
+    and the emitted event indices are then global.
     """
     corr_pos, energy_out = _corr_energy_rows(x, hist_ref, Q=Q, H=H)
 
     gi = it * B + jax.lax.broadcasted_iota(jnp.int32, corr_pos.shape, 1)
+    if base is not None:
+        gi = gi + base
     valid = gi >= valid_from
 
     # Smoothing IIR s[n] = (1-alpha) s[n-1] + alpha c[n].  The coefficient is
@@ -391,23 +401,7 @@ def minn_rtl_metric_planar_pallas(
 
 
 def _detect_kernel(
-    x_ref,
-    valid_ref,
-    closed_ref,
-    start_ref,
-    close_ref,
-    pidx_ref,
-    pval_ref,
-    meta_ref,
-    hist_ref,
-    carry_ref,
-    dec_ref,
-    gate_ref,   # i32 (NB, LANE): lane0 = last_above, lane1 = cluster_count
-    tstart_ref,  # i32 (NB, LANE) per-slot gate start
-    tlast_ref,   # i32 (NB, LANE) per-slot last above
-    tpidx_ref,   # i32 (NB, LANE) per-slot peak index
-    tpval_ref,   # f32 (NB, LANE) per-slot peak value
-    *,
+    *refs,
     Q: int,
     H: int,
     B: int,
@@ -422,6 +416,10 @@ def _detect_kernel(
     batch: int,
     tie_last: bool,
     emit_unclosed: bool,
+    event_from: int = 0,
+    L_global: int | None = None,
+    with_base: bool = False,
+    with_init: bool = False,
 ):
     """Fused metric + gate/hysteresis/peak FSM (reference
     ref/minn_preamble_detector.sv:337-384, minn_rtl.py:750-825).
@@ -432,19 +430,68 @@ def _detect_kernel(
     all carried in VMEM scratch.  Blocks with no above samples and no open
     gate skip the whole event machinery (`pl.when`), so the common case costs
     exactly the metric datapath.
+
+    Shard mode (`with_base=True`): the first ref is an SMEM scalar holding
+    the shard's global base index; `event_from` suppresses events in the
+    halo head, and `L_global` replaces `L_true` for close/clip semantics
+    (indices in the emitted table are then global stream positions).
+
+    Scratch-priming mode (`with_init=True`): three extra input refs follow
+    the stream -- hist_init (C, NB, H) IQ history rows, carry_init
+    (NB, LANE) smoothing carry (lane 0), gate_init (NB, LANE) i32 gate FSM
+    carry (lane 0 = last-above global index, lane 1 = open-gate flag) --
+    and initialize the kernel's streaming state at grid step 0 instead of
+    zeros.  This is how the sharded path primes each seq shard from its
+    halo WITHOUT concatenating halo+stream in HBM.
     """
+    i = 0
+    if with_base:
+        base_ref = refs[i]
+        base = base_ref[0]
+        i += 1
+    else:
+        base = None
+    x_ref = refs[i]
+    i += 1
+    if with_init:
+        hist_init_ref, carry_init_ref, gate_init_ref = refs[i : i + 3]
+        i += 3
+    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+     meta_ref, hist_ref, carry_ref, dec_ref, gate_ref, tstart_ref,
+     tlast_ref, tpidx_ref, tpval_ref) = refs[i:]
     it = pl.program_id(1)
     ib = pl.program_id(0)
+    Lg = L_true if L_global is None else L_global
 
     @pl.when(it == 0)
     def _():
-        hist_ref[...] = jnp.zeros_like(hist_ref)
-        carry_ref[...] = jnp.zeros_like(carry_ref)
         _init_decay(dec_ref, alpha)
         common.event_scratch_init(
             gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
             tie_last=tie_last,
         )
+        if with_init:
+            hist_ref[...] = hist_init_ref[...]
+            carry_ref[...] = jnp.broadcast_to(
+                carry_init_ref[...][..., 0:1], carry_ref.shape
+            )
+            gl = jax.lax.broadcasted_iota(jnp.int32, gate_ref.shape, 1)
+            gate_ref[...] = jnp.where(
+                gl == 0,
+                jnp.broadcast_to(
+                    gate_init_ref[...][..., 0:1], gate_ref.shape
+                ),
+                jnp.where(
+                    gl == 1,
+                    jnp.broadcast_to(
+                        gate_init_ref[...][..., 1:2], gate_ref.shape
+                    ),
+                    gate_ref[...],
+                ),
+            )
+        else:
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+            carry_ref[...] = jnp.zeros_like(carry_ref)
 
     corr_pos, _smooth, _energy, above, gi = _metric_block(
         x_ref[...],
@@ -459,17 +506,26 @@ def _detect_kernel(
         valid_from=valid_from,
         threshold_value=threshold_value,
         threshold_frac_bits=threshold_frac_bits,
+        base=base,
     )
-    # mask stream-length padding and batch padding rows
+    # mask stream-length padding and batch padding rows (local indices),
+    # the halo head in shard mode, and the global stream tail
+    gi_local = it * B + jax.lax.broadcasted_iota(jnp.int32, above.shape, 1)
     row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
-    above = above & (gi < L_true) & (row < batch)
+    above = above & (gi_local < L_true) & (row < batch)
+    if event_from > 0:
+        above = above & (gi_local >= event_from)
+    if base is not None:
+        above = above & (gi < Lg)
 
+    block_start = it * B if base is None else base + it * B
     common.event_update(
         above, corr_pos, gi, it,
         B=B, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=L_true,
+        tie_last=tie_last, L_true=Lg,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
+        block_start=block_start,
     )
 
     # The event-table outputs map every time step to the same block, so only
@@ -479,7 +535,7 @@ def _detect_kernel(
         common.event_finalize(
             valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
             meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
-            hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+            hysteresis=hysteresis, max_events=max_events, L_true=Lg,
             emit_unclosed=emit_unclosed,
         )
 
@@ -499,6 +555,8 @@ def _detect_kernel(
         "batch_tile",
         "channel_leading",
         "interpret",
+        "event_from",
+        "stream_len_global",
     ),
 )
 def minn_rtl_detect_fused_pallas(
@@ -516,6 +574,10 @@ def minn_rtl_detect_fused_pallas(
     batch_tile: int = 8,
     channel_leading: bool = False,
     interpret: bool | None = None,
+    base_index: jax.Array | None = None,
+    event_from: int = 0,
+    stream_len_global: int | None = None,
+    shard_init: tuple | None = None,
 ):
     """Fully-fused Minn-RTL detection: IQ in, GateEvents out, nothing else
     touches HBM.  Semantically identical to `minn_rtl_metric_planar_pallas`
@@ -524,6 +586,18 @@ def minn_rtl_detect_fused_pallas(
     iq: (batch, branches, 2, L) planar float32 (or unbatched
     (branches, 2, L)); with `channel_leading=True`, the kernel-native
     (2*branches, batch, L) layout (see `minn_rtl_metric_planar_pallas`).
+
+    Shard mode (used by `parallel.shard.sharded_minn_rtl_detect_fused`):
+    `base_index` -- a dynamic int32 scalar -- declares the global stream
+    position of the block's first sample, `event_from` suppresses events in
+    the first `event_from` LOCAL samples (the halo head), and
+    `stream_len_global` supplies the global length for close/validity
+    semantics.  Emitted indices are then global.  `shard_init` --
+    (hist_init (C, batch, H), carry_init (batch,), gate_init (batch, 2)
+    [last-above global index, open-gate flag]) -- primes the kernel's
+    streaming scratch at grid step 0, so a seq shard starts exactly where
+    its left neighbor ended without concatenating halo+stream in HBM (see
+    `parallel.shard.sharded_minn_rtl_detect_fused`).
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 
@@ -552,6 +626,8 @@ def minn_rtl_detect_fused_pallas(
     H = _round_up(max(3 * Q, _LANE), _LANE)
     x = _pad_channel_leading(x, Np, Lp)
 
+    with_base = base_index is not None
+    with_init = shard_init is not None
     kernel = functools.partial(
         _detect_kernel,
         Q=Q,
@@ -568,6 +644,10 @@ def minn_rtl_detect_fused_pallas(
         batch=batch,
         tie_last=(tie == "last"),
         emit_unclosed=emit_unclosed,
+        event_from=event_from,
+        L_global=stream_len_global,
+        with_base=with_base,
+        with_init=with_init,
     )
     i32 = jnp.int32
     out_shape = [
@@ -580,10 +660,37 @@ def minn_rtl_detect_fused_pallas(
         jax.ShapeDtypeStruct((Np, _LANE), i32),         # meta: count, overflow
     ]
     ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
+    in_specs = [pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))]
+    operands = [x]
+    if with_init:
+        hist_init, carry_init, gate_init = shard_init
+        # hist rows are RIGHT-aligned: hist[..., H-1] is the sample
+        # immediately preceding the block (the kernel's ext = [hist, x])
+        hlen = min(hist_init.shape[-1], H)
+        hpad = jnp.zeros((C, Np, H), jnp.float32)
+        hpad = hpad.at[:, :batch, H - hlen :].set(
+            hist_init.astype(jnp.float32)[..., -hlen:]
+        )
+        cpad = jnp.zeros((Np, _LANE), jnp.float32)
+        cpad = cpad.at[:batch, 0].set(carry_init.astype(jnp.float32))
+        gpad = jnp.full((Np, _LANE), -1, i32)
+        gpad = gpad.at[:, 1].set(0)
+        gpad = gpad.at[:batch, :2].set(gate_init.astype(i32))
+        in_specs += [
+            pl.BlockSpec((C, NB, H), lambda ib, it: (0, ib, 0)),
+            pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0)),
+        ]
+        operands += [hpad, cpad, gpad]
+    if with_base:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(
+            0, jnp.asarray(base_index, jnp.int32).reshape(1)
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(Np // NB, Lp // B),
-        in_specs=[pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))],
+        in_specs=in_specs,
         out_specs=[ev_spec] * 7,
         out_shape=out_shape,
         scratch_shapes=[
@@ -602,7 +709,7 @@ def minn_rtl_detect_fused_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x)
+    )(*operands)
     valid, closed, gate_start, gate_close, peak_idx, peak_val, meta = [
         o[:batch] for o in outs
     ]

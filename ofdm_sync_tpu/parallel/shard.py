@@ -639,26 +639,35 @@ def sharded_minn_rtl_detect_fused(
     channel_leading: bool = False,
     interpret: bool | None = None,
 ):
-    """The production multi-chip detection step: per-shard **fused Pallas
-    corr/energy kernel** + exact cross-shard smoothing carry + collective
-    event merge.
+    """The production multi-chip detection step: per-shard **fully-fused
+    Pallas detect kernel** (metric + smoothing + gate/peak FSM in VMEM) +
+    a table-level collective event merge.
 
     iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq';
     with `channel_leading=True`, the framework-native (2*branches, batch, L)
     layout (rows [b0_i, b0_q, b1_i, b1_q]), which avoids the per-shard HBM
-    layout transpose entirely.  Per shard: a 3Q halo exchange over ICI, then
-    `kernels.pallas_minn.minn_rtl_corr_energy_planar_pallas` computes
-    corr/energy in one VMEM-resident pass -- the window-ladder reduction
-    trees are translation-invariant, so the per-shard values are
-    BIT-IDENTICAL to the unsharded kernel's.  The smoothing IIR is stitched
-    across shards with `blocked_linear_recurrence` (global warm-up masking),
-    and gates/peaks merge with `_cross_shard_event_merge`.  Returns
-    GateEvents with batch over 'data', replicated over 'seq' -- equal to the
-    unsharded fused detection (tests place gates on shard boundaries).
+    layout transpose entirely.
+
+    Per shard: a 3Q halo exchange over ICI, then the SAME fused detect
+    kernel as the single-chip path runs on the halo-extended block in shard
+    mode (`base_index` = global offset, events suppressed in the halo head)
+    -- so the per-chip cost IS the single-chip fused-kernel cost, not a
+    corr/energy + XLA-stitch two-phase (round 1's form measured 3.5x
+    slower per chip, bench_scaling.py).  Correctness of the per-shard
+    smoothing state: the constant-decay scan's memory is < 256 samples
+    (`pallas_common.const_decay_scan` truncation bound), so starting it
+    from zero at the 3Q = 1536-sample halo head converges to the global
+    value before any real sample; the window-ladder trees are
+    translation-invariant.  Each shard's last `h` halo samples keep their
+    above-bits visible (`event_from = 3Q - h`) so boundary-gap samples are
+    peak-tracked by the right shard; `_merge_shard_event_tables` then
+    stitches gates that span shard seams (gap <= h rule, index-aware peak
+    ties) from the all-gathered per-shard tables -- a few hundred bytes
+    per shard instead of the per-sample array merge.  Returns GateEvents
+    with batch over 'data', replicated over 'seq' -- equal to the unsharded
+    fused detection (tests place gates on shard boundaries).
     """
-    from ofdm_sync_tpu.kernels.pallas_minn import (
-        minn_rtl_corr_energy_planar_pallas,
-    )
+    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
     from ofdm_sync_tpu.ops.detect import GateEvents
 
     Q = quarter_len
@@ -670,47 +679,88 @@ def sharded_minn_rtl_detect_fused(
     if n % n_seq or batch_dim % n_data:
         raise ValueError("batch/stream dims not divisible by mesh axes")
     block = n // n_seq
-    if block < history:
+    if block < history + 256:
         raise ValueError(
-            f"seq shard of {block} samples is shorter than the 3Q={history} "
-            "halo; use fewer seq shards"
+            f"seq shard of {block} samples is shorter than the "
+            f"3Q+256={history + 256} halo (delay-line reach + smoothing "
+            "memory); use fewer seq shards"
         )
+    h = max(int(hysteresis), 1)
+    tie_last = tie == "last"
+
+    from ofdm_sync_tpu.kernels.streaming import minn_rtl_metric_planar
+
     alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
     valid_from = max(0, 3 * Q - 1)
-    h = max(int(hysteresis), 1)
+    # halo = delay-line reach (3Q) + the smoothing scan's sub-ulp memory
+    # (256 samples: pallas_common.const_decay_scan truncation bound)
+    W = history + 256
 
     def shard_fn(blk):
         # blk: (B_loc, branches, 2, block), or (C, B_loc, block) when
-        # channel-leading (halo exchange works on the last axis either way)
-        ext = halo_exchange(blk, history, 0, "seq")
-        corr_pos, energy_total = minn_rtl_corr_energy_planar_pallas(
-            ext,
+        # channel-leading.  The halo is NOT concatenated onto the stream
+        # (that materializes a full HBM copy of the shard -- measured 23%
+        # of wall, bench_scaling.py r2); instead it primes the fused
+        # kernel's streaming scratch: delay-line history rows directly,
+        # smoothing carry and gate state via a small XLA metric pass over
+        # the W halo samples (positions >= 3Q-1 of the halo have full
+        # in-halo tap support, and the scan's 257-sample runway makes the
+        # carry sub-ulp-exact).
+        sidx = jax.lax.axis_index("seq")
+        tail = blk[..., -W:]
+        from_left = jax.lax.ppermute(
+            tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
+        )
+        halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
+
+        # halo metric in natural (batch, branches, 2, W) layout (tiny)
+        if channel_leading:
+            hb = halo.transpose(1, 0, 2)
+            hb = hb.reshape(hb.shape[0], hb.shape[1] // 2, 2, W)
+        else:
+            hb = halo
+        st = minn_rtl_metric_planar(
+            hb, quarter_len=Q, smooth_shift=smooth_shift,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+        )
+        carry_init = st.smooth_metric[..., -1]
+        shard_start = sidx * block
+        gi_tail = shard_start - h + jnp.arange(h, dtype=jnp.int32)
+        above_tail = st.above_threshold[..., -h:] & (gi_tail >= valid_from)
+        la_init = jnp.max(
+            jnp.where(above_tail, gi_tail, jnp.int32(-1)), axis=-1
+        )
+        gate_init = jnp.stack(
+            [la_init, (la_init >= 0).astype(jnp.int32)], axis=-1
+        )
+        hist_init = halo  # wrapper right-trims to its hist width
+        if not channel_leading:
+            # kernel expects channel-leading (C, batch, W) init rows
+            bsz = hist_init.shape[0]
+            hist_init = hist_init.reshape(bsz, -1, W).transpose(1, 0, 2)
+
+        table = minn_rtl_detect_fused_pallas(
+            blk,
             quarter_len=Q,
+            smooth_shift=smooth_shift,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+            hysteresis=hysteresis,
+            max_events=max_events,
+            tie=tie,
+            emit_unclosed=True,  # boundary gates must surface for merging
             block=kernel_block,
             batch_tile=batch_tile,
             channel_leading=channel_leading,
             interpret=interpret,
+            base_index=shard_start,
+            stream_len_global=n,
+            shard_init=(hist_init, carry_init, gate_init),
         )
-        # the halo head reproduces the delay-line state exactly (window
-        # reach <= 3Q); corr/energy are index-free and exact
-        corr_pos = corr_pos[..., history:]
-        energy_total = energy_total[..., history:]
-
-        sidx = jax.lax.axis_index("seq")
-        gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
-        metric_valid = gi >= valid_from
-        a = jnp.where(metric_valid, 1.0 - alpha, 1.0).astype(corr_pos.dtype)
-        a = jnp.broadcast_to(a, corr_pos.shape)
-        b = jnp.where(metric_valid, alpha * corr_pos, 0.0)
-        smooth = blocked_linear_recurrence(a, b, "seq")
-        above = metric_valid & (
-            smooth * (1 << threshold_frac_bits)
-            >= energy_total * float(threshold_value)
-        )
-        gi_b = jnp.broadcast_to(gi, above.shape)
-        return _cross_shard_event_merge(
-            above, corr_pos, gi_b, h=h, E=max_events, n=n,
-            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        return _merge_shard_event_tables(
+            table, axis_name="seq", h=h, E=max_events, tie_last=tie_last,
+            emit_unclosed=emit_unclosed,
         )
 
     spec_in = (
@@ -729,6 +779,113 @@ def sharded_minn_rtl_detect_fused(
     return GateEvents(
         valid=valid, closed=closed, gate_start=gs, gate_close=gc,
         peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
+    )
+
+
+def _merge_shard_event_tables(
+    table, *, axis_name: str, h: int, E: int, tie_last: bool,
+    emit_unclosed: bool,
+):
+    """Stitch per-seq-shard GateEvents tables into the global table.
+
+    Input: this shard's table with GLOBAL indices (each shard ran the fused
+    kernel with `emit_unclosed=True` on its halo-extended block).  The only
+    cross-shard interaction is the closed-form cluster rule: a shard's
+    first gate continues the previous shard's trailing gate iff the above
+    gap across the seam is <= h.  All per-shard tables are all-gathered
+    (O(n_seq * E) scalars per stream) and merged with one lax.scan --
+    identical output on every shard.
+
+    Peak ties are index-aware ('last' -> larger index wins among equal
+    values), which also makes the h-sample tracked-region overlap at each
+    seam (see `sharded_minn_rtl_detect_fused`) harmless.
+    """
+    i32 = jnp.int32
+    gathered = [
+        jax.lax.all_gather(x, axis_name)
+        for x in (
+            table.gate_start, table.gate_close, table.peak_idx,
+            table.peak_value, table.closed, table.count, table.overflow,
+        )
+    ]
+    n_seq = gathered[0].shape[0]
+    B = gathered[0].shape[1]
+    slot = jnp.arange(E, dtype=i32)[None, :]
+
+    def step(carry, sh):
+        o_start, o_close, o_pidx, o_pval, o_closed, cnt, ovf, trail_la = carry
+        s_start, s_close, s_pidx, s_pval, s_closed, s_cnt, s_ovf = sh
+        has = s_cnt > 0
+        merge = has & (cnt > 0) & (s_start[:, 0] - trail_la <= h)
+
+        # merge the shard's first piece into the trailing output event
+        last_slot = jnp.clip(cnt - 1, 0, E - 1)[:, None]
+        sel_last = (slot == last_slot) & merge[:, None]
+        cur_pv = jnp.take_along_axis(o_pval, last_slot, 1)[:, 0]
+        cur_pi = jnp.take_along_axis(o_pidx, last_slot, 1)[:, 0]
+        new_pv, new_pi = s_pval[:, 0], s_pidx[:, 0]
+        if tie_last:
+            take = (new_pv > cur_pv) | ((new_pv == cur_pv) & (new_pi > cur_pi))
+        else:
+            take = (new_pv > cur_pv) | ((new_pv == cur_pv) & (new_pi < cur_pi))
+        mg_pv = jnp.where(take, new_pv, cur_pv)
+        mg_pi = jnp.where(take, new_pi, cur_pi)
+        o_pval = jnp.where(sel_last, mg_pv[:, None], o_pval)
+        o_pidx = jnp.where(sel_last, mg_pi[:, None], o_pidx)
+        # close: the LATER close wins (a gap-only continuation piece -- a
+        # primed gate with no above samples in this shard -- carries an
+        # earlier/garbage close and must not regress the trailing event)
+        cur_close = jnp.take_along_axis(o_close, last_slot, 1)[:, 0]
+        cur_closed = jnp.take_along_axis(o_closed, last_slot, 1)[:, 0]
+        adv = s_close[:, 0] >= cur_close
+        mg_close = jnp.where(adv, s_close[:, 0], cur_close)
+        mg_closed = jnp.where(adv, s_closed[:, 0], cur_closed)
+        o_close = jnp.where(sel_last, mg_close[:, None], o_close)
+        o_closed = jnp.where(sel_last, mg_closed[:, None], o_closed)
+        # (gate_start keeps the earlier piece's value: the trailing output
+        #  event opened strictly before the seam)
+
+        # append the remaining pieces in order
+        drop = merge.astype(i32)
+        for e in range(E):
+            src_ok = (e < s_cnt) & ~(merge & (e == 0))
+            dst = cnt + e - drop
+            sel = src_ok[:, None] & (slot == dst[:, None])
+            o_start = jnp.where(sel, s_start[:, e : e + 1], o_start)
+            o_close = jnp.where(sel, s_close[:, e : e + 1], o_close)
+            o_pidx = jnp.where(sel, s_pidx[:, e : e + 1], o_pidx)
+            o_pval = jnp.where(sel, s_pval[:, e : e + 1], o_pval)
+            o_closed = jnp.where(sel, s_closed[:, e : e + 1], o_closed)
+        total = cnt + jnp.where(has, s_cnt - drop, 0)
+        ovf = ovf | s_ovf | (total > E)
+        cnt = jnp.minimum(total, E)
+        s_last = jnp.clip(s_cnt - 1, 0, E - 1)[:, None]
+        s_trail_close = jnp.take_along_axis(s_close, s_last, 1)[:, 0]
+        trail_la = jnp.where(has, s_trail_close - h, trail_la)
+        return (o_start, o_close, o_pidx, o_pval, o_closed, cnt, ovf,
+                trail_la), None
+
+    z = jnp.zeros((B, E), i32)
+    init = (
+        z, z, z, jnp.zeros((B, E), jnp.float32), jnp.zeros((B, E), bool),
+        jnp.zeros((B,), i32), jnp.zeros((B,), bool),
+        jnp.full((B,), jnp.iinfo(jnp.int32).min // 2, i32),
+    )
+    (o_start, o_close, o_pidx, o_pval, o_closed, cnt, ovf, _), _ = (
+        jax.lax.scan(step, init, tuple(gathered))
+    )
+    exists = slot < cnt[:, None]
+    valid = exists & (o_closed | emit_unclosed)
+    z0 = jnp.int32(0)
+    return (
+        valid,
+        o_closed & exists,
+        jnp.where(exists, o_start, z0),
+        jnp.where(exists, o_close, z0),
+        jnp.where(exists, o_pidx, z0),
+        jnp.where(exists, o_pval, jnp.float32(0.0)),
+        jnp.sum(valid.astype(i32), axis=-1),
+        ovf,
     )
 
 
