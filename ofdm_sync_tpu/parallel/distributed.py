@@ -28,6 +28,9 @@ import jax
 from ofdm_sync_tpu.parallel.shard import make_stream_mesh
 
 
+_initialized = False
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -37,12 +40,14 @@ def initialize(
 
     On TPU pods all arguments come from the environment and may be omitted;
     elsewhere pass the coordinator's ``host:port``, the process count, and
-    this process's rank (`jax.distributed.initialize` semantics).  After
-    this returns, `jax.devices()` is the GLOBAL device list and every
+    this process's rank (`jax.distributed.initialize` semantics).  Must be
+    called BEFORE anything touches the XLA backend (jax.devices() etc.).
+    After this returns, `jax.devices()` is the GLOBAL device list and every
     process must execute the same sharded program (SPMD).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _initialized
+    if _initialized:
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -52,9 +57,14 @@ def initialize(
         kwargs["process_id"] = process_id
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:  # single-process runs: nothing to join
-        if "already initialized" not in str(e).lower() and kwargs:
-            raise
+        _initialized = True
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            _initialized = True
+            return
+        if not kwargs:  # env-driven single-process runs: nothing to join
+            return
+        raise
 
 
 def make_global_stream_mesh(n_data: int | None = None, n_seq: int | None = None):
