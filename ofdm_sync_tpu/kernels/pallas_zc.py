@@ -105,6 +105,245 @@ def _zc_kernel(
     )
 
 
+def _zc_iq_kernel(
+    mf_ref,      # (C, NB, B) planar matched-filter output rows
+    iq_ref,      # (C, NB, B) planar IQ rows (zero-padded past L_iq)
+    valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+    meta_ref,
+    mhist_ref,   # (NB, H) corr-magnitude history (CFAR window)
+    phist_ref,   # (BR, NB, HE) per-branch power history (energy window)
+    gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+    *,
+    BR: int,
+    W: int,
+    R: int,
+    H: int,
+    HE: int,
+    B: int,
+    NB: int,
+    ref_norm: float,
+    threshold_value: int,
+    threshold_frac_bits: int,
+    min_corr_mag: float,
+    hysteresis: int,
+    max_events: int,
+    L_true: int,
+    L_iq: int,
+    batch: int,
+    tie_last: bool,
+    emit_unclosed: bool,
+):
+    """From-IQ ZC detection in one pass: per-branch sliding energy +
+    normalization + branch sum + magnitude + CFAR + event FSM, all in VMEM
+    (reference zc_v2.py:244-336, 486-498).  The matched filter itself stays
+    an XLA FFT convolution; everything downstream of it used to be five
+    full-length HBM arrays (energy, denominator, normalized corr, branch
+    sum, magnitude) -- this kernel materializes none of them.
+    """
+    it = pl.program_id(1)
+    ib = pl.program_id(0)
+
+    @pl.when(it == 0)
+    def _():
+        mhist_ref[...] = jnp.zeros_like(mhist_ref)
+        phist_ref[...] = jnp.zeros_like(phist_ref)
+        common.event_scratch_init(
+            gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            tie_last=tie_last,
+        )
+
+    gi = it * B + jax.lax.broadcasted_iota(jnp.int32, (NB, B), 1)
+    xiq = iq_ref[...]  # (2*BR, NB, B)
+    # per-branch instantaneous power; samples past the true IQ length are
+    # zero by the 'full'-conv energy alignment (sliding_energy_full)
+    live = (gi < L_iq).astype(jnp.float32)
+    p = jnp.stack(
+        [
+            (xiq[2 * b] * xiq[2 * b] + xiq[2 * b + 1] * xiq[2 * b + 1])
+            for b in range(BR)
+        ],
+        axis=0,
+    ) * live  # (BR, NB, B)
+    pext = jnp.concatenate([phist_ref[...], p], axis=-1)  # (BR, NB, HE+B)
+    phist_ref[...] = pext[..., -HE:]
+    energy = common.window_sum_guarded(pext, R, guard=HE)[..., HE:]
+
+    mf = mf_ref[...]
+    denom = ref_norm * jnp.sqrt(jnp.maximum(energy, jnp.float32(1e-12)))
+    inv = jnp.float32(1.0) / denom  # (BR, NB, B)
+    re = sum(mf[2 * b] * inv[b] for b in range(BR))
+    im = sum(mf[2 * b + 1] * inv[b] for b in range(BR))
+    mag = jnp.sqrt(re * re + im * im)  # (NB, B)
+
+    mext = jnp.concatenate([mhist_ref[...], mag], axis=-1)
+    mhist_ref[...] = mext[..., -H:]
+    local_sum = common.window_sum_guarded(mext, W, guard=H)[..., H:]
+    valid = gi >= W
+    above = (
+        valid
+        & (mag * jnp.float32(1 << threshold_frac_bits)
+           >= local_sum * jnp.float32(threshold_value))
+        & (mag >= jnp.float32(min_corr_mag))
+    )
+    row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
+    above = above & (gi < L_true) & (row < batch)
+
+    common.event_update(
+        above, mag, gi, it,
+        B=B, hysteresis=hysteresis, max_events=max_events,
+        tie_last=tie_last, L_true=L_true,
+        gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
+        tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
+    )
+
+    @pl.when(it == pl.num_programs(1) - 1)
+    def _():
+        common.event_finalize(
+            valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+            meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+            emit_unclosed=emit_unclosed,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "corr_window",
+        "ref_len",
+        "ref_norm",
+        "threshold_value",
+        "threshold_frac_bits",
+        "min_corr_mag",
+        "hysteresis",
+        "max_events",
+        "tie",
+        "emit_unclosed",
+        "block",
+        "batch_tile",
+        "interpret",
+    ),
+)
+def zc_iq_cfar_detect_pallas(
+    mf: jax.Array,
+    iq: jax.Array,
+    *,
+    ref_len: int,
+    ref_norm: float,
+    corr_window: int = 2048,
+    threshold_value: int | None = None,
+    threshold_frac_bits: int = 15,
+    min_corr_mag: float = 0.3,
+    hysteresis: int = 256,
+    max_events: int = 16,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+    block: int = 4096,
+    batch_tile: int = 8,
+    interpret: bool | None = None,
+):
+    """From-IQ fused ZC detection (D7): matched-filter output in, GateEvents
+    out, no full-length intermediates.
+
+    mf: (2*BR, batch, Lc) planar 'full'-convolution matched-filter output
+    rows [b0_re, b0_im, b1_re, b1_im] (Lc = L + ref_len - 1, from
+    `ops.metrics.matched_filter`, kept planar for the axon backend);
+    iq: (2*BR, batch, L) planar received IQ in the same row order.
+    `ref_norm` = ||ref||_2.  Event indices cover the full correlation
+    length Lc, matching `models.detectors.ZCStreamingDetector`'s XLA path
+    (reference zc_v2.py:244-336, 486-498).
+    """
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    if threshold_value is None:
+        threshold_value = int(
+            4.0 * (1 << threshold_frac_bits) / corr_window
+        )
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if max_events > _LANE:
+        raise ValueError(f"max_events must be <= {_LANE}")
+
+    C, batch, Lc = mf.shape
+    BR = C // 2
+    L_iq = iq.shape[-1]
+    W = corr_window
+    R = ref_len
+    B = min(block, common.round_up(Lc, _LANE))
+    Lp = common.round_up(Lc, B)
+    NB = common.round_up(min(batch_tile, batch), 8)
+    Np = common.round_up(batch, NB)
+    H = common.round_up(max(W, _LANE), _LANE)
+    HE = common.round_up(max(R, _LANE), _LANE)
+
+    mfp = common.pad_channel_leading(mf.astype(jnp.float32), Np, Lp)
+    iqp = common.pad_channel_leading(iq.astype(jnp.float32), Np, Lp)
+
+    kernel = functools.partial(
+        _zc_iq_kernel,
+        BR=BR, W=W, R=R, H=H, HE=HE, B=B, NB=NB,
+        ref_norm=float(ref_norm),
+        threshold_value=threshold_value,
+        threshold_frac_bits=threshold_frac_bits,
+        min_corr_mag=min_corr_mag,
+        hysteresis=hysteresis,
+        max_events=max_events,
+        L_true=Lc,
+        L_iq=L_iq,
+        batch=batch,
+        tie_last=(tie == "last"),
+        emit_unclosed=emit_unclosed,
+    )
+    i32 = jnp.int32
+    out_shape = [
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+        jax.ShapeDtypeStruct((Np, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((Np, _LANE), i32),
+    ]
+    ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Np // NB, Lp // B),
+        in_specs=[
+            pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it)),
+            pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it)),
+        ],
+        out_specs=[ev_spec] * 7,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NB, H), jnp.float32),
+            pltpu.VMEM((BR, NB, HE), jnp.float32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), i32),
+            pltpu.VMEM((NB, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mfp, iqp)
+    valid, closed, gate_start, gate_close, peak_idx, peak_val, meta = [
+        o[:batch] for o in outs
+    ]
+    E = max_events
+    return GateEvents(
+        valid=valid[:, :E].astype(bool),
+        closed=closed[:, :E].astype(bool),
+        gate_start=gate_start[:, :E],
+        gate_close=gate_close[:, :E],
+        peak_idx=peak_idx[:, :E],
+        peak_value=peak_val[:, :E],
+        count=meta[:, 0],
+        overflow=meta[:, 1].astype(bool),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

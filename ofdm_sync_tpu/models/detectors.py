@@ -392,6 +392,54 @@ class ZCStreamingDetector:
         ]
         return DetectionResult(events=events)
 
+    def detect_fused_iq(self, rx) -> DetectionResult:
+        """From-IQ fused path: XLA FFT matched filter, then ONE Pallas pass
+        for per-branch sliding energy + normalization + branch sum +
+        magnitude + CFAR + event FSM (`kernels.pallas_zc.
+        zc_iq_cfar_detect_pallas`) -- none of the five full-length
+        intermediates of the XLA form touch HBM.  Requires
+        ``normalize=True`` (the per-branch zc_v2 flavour, reference
+        zc_v2.py:486-498).  Same events as `detect` (tests assert)."""
+        from ofdm_sync_tpu.kernels.pallas_zc import zc_iq_cfar_detect_pallas
+
+        if not self.normalize:
+            return self.detect_fused(rx)
+        x = _dev(rx)
+        if x.ndim == 1:
+            x = x[None]
+        ref = jnp.asarray(self.reference_waveform(), _C64)
+        mf = M.matched_filter(x, ref)  # (BR, Lc) complex
+        mf_planar = jnp.stack(
+            [p for b in range(mf.shape[0]) for p in (mf[b].real, mf[b].imag)],
+            axis=0,
+        )[:, None, :]
+        iq_planar = jnp.stack(
+            [p for b in range(x.shape[0]) for p in (x[b].real, x[b].imag)],
+            axis=0,
+        ).astype(jnp.float32)[:, None, :]
+        table = zc_iq_cfar_detect_pallas(
+            mf_planar,
+            iq_planar,
+            ref_len=int(ref.shape[-1]),
+            ref_norm=float(jnp.sqrt(jnp.sum(jnp.abs(ref) ** 2))),
+            corr_window=self.params.corr_window,
+            threshold_value=self.params.threshold_value,
+            threshold_frac_bits=self.params.threshold_frac_bits,
+            min_corr_mag=self.params.min_corr_mag,
+            hysteresis=self.params.hysteresis,
+            max_events=self.max_events,
+        )
+        table = jax.tree.map(lambda a: a[0], table)
+        n = int(mf.shape[-1])
+        ref_len = self.sys.n_fft
+        events = [
+            DetectionEvent(
+                detected_start=max(0, e["peak_index"] - ref_len + 1), **e
+            )
+            for e in events_from_table(table, n, gate_end_mode="close")
+        ]
+        return DetectionResult(events=events)
+
     @staticmethod
     def strongest(result: DetectionResult) -> DetectionEvent | None:
         """Reference selects the strongest event, not the first

@@ -109,3 +109,59 @@ def test_zc_cfar_kernel_batched_multi_preamble(rng):
         pv = np.asarray(out.peak_value[b])[:k]
         rv = np.asarray(tab.peak_value)[:k]
         assert np.argmax(pv) == np.argmax(rv)
+
+
+def test_zc_iq_fused_kernel_matches_xla(rng):
+    """From-IQ fused kernel (sliding energy + normalization + branch sum +
+    magnitude + CFAR + FSM in one pass) == the XLA ZCStreamingDetector
+    path, at event-table granularity."""
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_iq_cfar_detect_pallas
+    from ofdm_sync_tpu.ops import metrics as M
+
+    det = _small_detector()
+    rx = _stimulus(det, rng)  # (2, L) complex
+    _, _, _, _, _, ref_tab, _ = det._detect_jit(jnp.asarray(rx))
+
+    ref = jnp.asarray(det.reference_waveform(), jnp.complex64)
+    mf = M.matched_filter(jnp.asarray(rx, jnp.complex64), ref)  # (2, Lc)
+    mf_planar = jnp.stack(
+        [mf[0].real, mf[0].imag, mf[1].real, mf[1].imag], axis=0
+    )[:, None, :]
+    iq_planar = jnp.stack(
+        [rx[0].real, rx[0].imag, rx[1].real, rx[1].imag], axis=0
+    ).astype(jnp.float32)[:, None, :]
+    out = zc_iq_cfar_detect_pallas(
+        mf_planar,
+        iq_planar,
+        ref_len=int(ref.shape[-1]),
+        ref_norm=float(jnp.sqrt(jnp.sum(jnp.abs(ref) ** 2))),
+        corr_window=det.params.corr_window,
+        threshold_value=det.params.threshold_value,
+        threshold_frac_bits=det.params.threshold_frac_bits,
+        min_corr_mag=det.params.min_corr_mag,
+        hysteresis=det.params.hysteresis,
+        max_events=det.max_events,
+        block=1024,
+    )
+    assert int(out.count[0]) == int(ref_tab.count) >= 1
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f))[0], np.asarray(getattr(ref_tab, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.peak_value)[0], np.asarray(ref_tab.peak_value),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_zc_detector_fused_iq_path_matches_detect(rng):
+    det = _small_detector()
+    rx = _stimulus(det, rng)
+    ref = det.detect(jnp.asarray(rx))
+    out = det.detect_fused_iq(jnp.asarray(rx))
+    assert len(out.events) == len(ref.events) >= 1
+    for a, b in zip(out.events, ref.events):
+        assert a.peak_index == b.peak_index
+        assert a.detected_start == b.detected_start
