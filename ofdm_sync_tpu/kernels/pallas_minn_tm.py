@@ -7,7 +7,7 @@ This kernel transposes the problem: **time runs down the sublane (row) axis,
 128 parallel streams occupy the lanes**.  Every time shift then becomes a
 sublane concatenation -- free for multiples of 8 rows and cheap even for
 1/2/4 -- which removes the dominant ALU cost and puts the kernel at the HBM
-input floor (measured ~18 G samples/s vs ~12.1 G lane-major on the same
+input floor (measured ~18.5 G samples/s vs ~12.1 G lane-major on the same
 workload, tools/perf_probe7).
 
 Input layout -- the TPU-native **tiled stream buffer**:
@@ -22,13 +22,13 @@ directly (sample t of all 128 streams is one row); `to_time_tiled` /
 `from_time_tiled` convert from the channel-leading layout (one HBM
 transpose, for callers that hold (C, batch, L)).
 
-Per grid step the kernel consumes R rows x 128 streams (R*128 samples --
-0.5-2 M samples per step), runs the full RTL datapath (quarter products ->
-joint corr/energy window ladders -> constant-decay smoothing -> fixed-point
-threshold -> gate/hysteresis/peak FSM) entirely in VMEM, and emits only the
-per-stream event tables.  The arithmetic mirrors `pallas_minn` step for
-step (same reduction trees, same guard proofs with rows in place of lanes),
-so results are bit-identical to the lane-major kernel.
+Per grid step the kernel consumes R rows x 128 streams, runs the full RTL
+datapath (quarter products -> joint corr/energy window ladders ->
+constant-decay smoothing -> fixed-point threshold -> gate/hysteresis/peak
+FSM) entirely in VMEM, and emits only the per-stream event tables.  The
+arithmetic mirrors `pallas_minn` step for step (same reduction trees, same
+guard proofs with rows in place of lanes), so results are bit-identical to
+the lane-major kernel.
 
 Reference parity: ref/minn_antenna_path.sv:33-194,
 ref/minn_preamble_detector.sv:247-384, minn_rtl.py:583-825.
@@ -44,91 +44,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ofdm_sync_tpu.kernels import pallas_common as common
+from ofdm_sync_tpu.kernels import pallas_tm_common as tm
 
-LANES = 128
-_round_up = common.round_up
-I32_MAX = common.I32_MAX
-NEG_INF = common.NEG_INF
+LANES = tm.LANES
+_round_up = tm.round_up
+_rshift = tm.rshift
+_rshift_zero = tm.rshift_zero
+_row_iota = tm.row_iota
 
+# re-exported layout converters (public API of the tiled stream buffer)
+to_time_tiled = tm.to_time_tiled
+from_time_tiled = tm.from_time_tiled
 
-def _rshift(y: jax.Array, d: int) -> jax.Array:
-    """Row shift down time: ``out[t] = y[t - d]`` with WRAP rows at the top.
-
-    A sublane concatenation -- free for d % 8 == 0, cheap otherwise
-    (measured tools/perf_probe6b).  Wrap garbage lands in the first d rows;
-    callers keep it inside a discarded head (history rows / zero guard),
-    mirroring `pallas_common.roll`'s lane-guard discipline.
-    """
-    if d == 0:
-        return y
-    ax = y.ndim - 2
-    n = y.shape[ax]
-    if ax == 0:
-        return jnp.concatenate([y[n - d :], y[: n - d]], axis=0)
-    return jnp.concatenate([y[:, n - d :], y[:, : n - d]], axis=1)
-
-
-def _row_iota(rows: int) -> jax.Array:
-    return jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-
-
-def _ladder_max_rows(x: jax.Array, fill) -> jax.Array:
-    """Inclusive running max down rows (guarded wrap-concat doubling).
-
-    Cumulative wrap corruption over steps 1..R/2 is < R rows, so an R-row
-    identity guard keeps every real row exact.  Concat shifts are free and
-    this ladder only runs inside the event predication, so the 2x data is
-    immaterial."""
-    R = x.shape[0]
-    y = jnp.concatenate([jnp.full((R,) + x.shape[1:], fill, x.dtype), x], axis=0)
-    d = 1
-    while d < R:
-        y = jnp.maximum(y, _rshift(y, d))
-        d *= 2
-    return y[R:]
-
-
-def _ladder_sum_rows(x: jax.Array) -> jax.Array:
-    """Inclusive running sum down rows (guarded wrap-concat doubling)."""
-    R = x.shape[0]
-    y = jnp.concatenate([jnp.zeros((R,) + x.shape[1:], x.dtype), x], axis=0)
-    d = 1
-    while d < R:
-        y = y + _rshift(y, d)
-        d *= 2
-    return y[R:]
-
-
-# ---------------------------------------------------------------------------
-# layout converters
-# ---------------------------------------------------------------------------
-
-def to_time_tiled(x: jax.Array, R: int) -> tuple[jax.Array, int, int]:
-    """Channel-leading (C, batch, L) -> tiled stream buffer
-    ((G*NT, C*R, LANES), G, NT).  Pads batch to a multiple of 128 and L to a
-    multiple of R with zeros.  One HBM transpose -- production receivers
-    write the tiled layout directly and skip this.
-    """
-    C, batch, L = x.shape
-    G = _round_up(batch, LANES) // LANES
-    NT = _round_up(L, R) // R
-    xp = jnp.zeros((C, G * LANES, NT * R), x.dtype)
-    xp = xp.at[:, :batch, :L].set(x)
-    # (C, G, 128, NT, R) -> (G, NT, C, R, 128)
-    xt = xp.reshape(C, G, LANES, NT, R).transpose(1, 3, 0, 4, 2)
-    return xt.reshape(G * NT, C * R, LANES), G, NT
-
-
-def from_time_tiled(xt: jax.Array, G: int, NT: int, C: int, R: int) -> jax.Array:
-    """Inverse of `to_time_tiled` (without the un-padding)."""
-    x = xt.reshape(G, NT, C, R, LANES).transpose(2, 0, 4, 1, 3)
-    return x.reshape(C, G * LANES, NT * R)
-
-
-# ---------------------------------------------------------------------------
-# kernel
-# ---------------------------------------------------------------------------
 
 def _tm_kernel(
     x_ref,       # (1, C*R, LANES) input block
@@ -155,17 +82,14 @@ def _tm_kernel(
     emit_unclosed: bool,
 ):
     it = pl.program_id(1)
-    h = max(int(hysteresis), 1)
     decay = 1.0 - alpha
 
     @pl.when(it == 0)
     def _():
         hist_ref[...] = jnp.zeros_like(hist_ref)
         carry_ref[...] = jnp.zeros_like(carry_ref)
-        row = _row_iota(R).astype(jnp.float32)
-        # decay^(t+1); exp/log is exact enough only for... compute by
-        # repeated squaring on the row index bits to match the lane
-        # kernel's _init_decay product exactly
+        # decay^(t+1) by repeated squaring (matches the lane kernel's
+        # _init_decay product exactly)
         d = jnp.full((R, 1), jnp.float32(decay))
         step = 1
         while step < R:
@@ -173,17 +97,11 @@ def _tm_kernel(
                 [jnp.ones((step, 1), jnp.float32), d[: R - step]], axis=0
             )
             step *= 2
-        del row
         dvec_ref[...] = d
-        gate_ref[...] = jnp.where(
-            _row_iota(8) == 1, 0, jnp.full((8, LANES), -1, jnp.int32)
+        tm.event_scratch_init(
+            gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            tie_last=tie_last,
         )
-        tstart_ref[...] = jnp.full_like(tstart_ref, I32_MAX)
-        tlast_ref[...] = jnp.full_like(tlast_ref, -1)
-        tpidx_ref[...] = jnp.full_like(
-            tpidx_ref, -1 if tie_last else I32_MAX
-        )
-        tpval_ref[...] = jnp.full_like(tpval_ref, NEG_INF)
 
     x = x_ref[0]  # (C*R, LANES)
     if x.dtype != jnp.float32:
@@ -257,127 +175,22 @@ def _tm_kernel(
             | (lane < batch_last)
         )
 
-    # --- gate/hysteresis/peak FSM (closed form, rows = time) -----------
-    carry_la = gate_ref[0:1, :]
-    any_above = jnp.max(above.astype(jnp.int32)) > 0
-    open_gate = (carry_la >= 0) & (it * R - carry_la <= h)
-    any_open = jnp.max(open_gate.astype(jnp.int32)) > 0
+    tm.event_update(
+        above, corr_pos, gi_col, it * R,
+        R=R, hysteresis=hysteresis, max_events=max_events,
+        tie_last=tie_last, L_true=L_true,
+        gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
+        tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
+    )
 
-    @pl.when(any_above | any_open)
-    def _():
-        gi = jnp.broadcast_to(gi_col, (R, LANES))
-        above_idx = jnp.where(above, gi, jnp.int32(-1))
-        la_local = _ladder_max_rows(above_idx, fill=-1)
-        last_above = jnp.maximum(la_local, carry_la)
-        prev_above = jnp.maximum(_rshift_zero(la_local, 1, fill=-1), carry_la)
-        new_cluster = above & ((prev_above < 0) | (gi - prev_above > h))
-        cs = _ladder_sum_rows(new_cluster.astype(jnp.int32))
-        carry_count = gate_ref[1:2, :]
-        cluster_id = carry_count + cs
-        below_run = gi - last_above
-        in_gate = (
-            (last_above >= 0) & (below_run <= h) & (cluster_id >= 1)
-            & (gi_col < L_true)
-        )
-
-        slot_row = _row_iota(tstart_ref.shape[0])
-        neg_inf = jnp.float32(NEG_INF)
-        cid_rel = jnp.where(in_gate, cluster_id, jnp.int32(0))
-        cmax_blk = jnp.max(cid_rel)
-        cmin_blk = jnp.min(jnp.where(in_gate, cluster_id, jnp.int32(I32_MAX)))
-        track = corr_pos
-        for cslot in range(1, max_events + 1):
-
-            @pl.when(
-                (jnp.int32(cslot) >= cmin_blk) & (jnp.int32(cslot) <= cmax_blk)
-            )
-            def _(cslot=cslot):
-                m = in_gate & (cluster_id == cslot)
-                bstart = jnp.min(
-                    jnp.where(m, gi, jnp.int32(I32_MAX)), axis=0, keepdims=True
-                )
-                bpv = jnp.max(jnp.where(m, track, neg_inf), axis=0, keepdims=True)
-                is_peak = m & (track == bpv)
-                if tie_last:
-                    bidx = jnp.max(
-                        jnp.where(is_peak, gi, jnp.int32(-1)), axis=0,
-                        keepdims=True,
-                    )
-                else:
-                    bidx = jnp.min(
-                        jnp.where(is_peak, gi, jnp.int32(I32_MAX)), axis=0,
-                        keepdims=True,
-                    )
-                blast = jnp.max(
-                    jnp.where(above & (cluster_id == cslot), gi, jnp.int32(-1)),
-                    axis=0, keepdims=True,
-                )
-                sel = slot_row == (cslot - 1)
-                tstart_ref[...] = jnp.where(
-                    sel, jnp.minimum(tstart_ref[...], bstart), tstart_ref[...]
-                )
-                tlast_ref[...] = jnp.where(
-                    sel, jnp.maximum(tlast_ref[...], blast), tlast_ref[...]
-                )
-                cur_pv = tpval_ref[...]
-                if tie_last:
-                    take = (bpv > cur_pv) | ((bpv == cur_pv) & (bpv > neg_inf))
-                else:
-                    take = bpv > cur_pv
-                tpval_ref[...] = jnp.where(sel, jnp.maximum(cur_pv, bpv), cur_pv)
-                tpidx_ref[...] = jnp.where(
-                    sel & take, jnp.broadcast_to(bidx, tpidx_ref.shape),
-                    tpidx_ref[...],
-                )
-
-        la_fin = last_above[R - 1 : R]
-        cnt_fin = cluster_id[R - 1 : R]
-        grow = _row_iota(8)
-        gate_ref[...] = jnp.where(
-            grow == 0,
-            jnp.broadcast_to(la_fin, gate_ref.shape),
-            jnp.where(
-                grow == 1, jnp.broadcast_to(cnt_fin, gate_ref.shape),
-                gate_ref[...],
-            ),
-        )
-
-    # --- finalize (last step only; same-block outputs, final write wins)
     @pl.when(it == pl.num_programs(1) - 1)
     def _():
-        slot_row = _row_iota(tstart_ref.shape[0])
-        cnt = gate_ref[1:2, :]
-        exists = slot_row < jnp.minimum(cnt, max_events)
-        close_raw = tlast_ref[...] + h
-        closed = (close_raw <= L_true - 1) & exists
-        validm = exists if emit_unclosed else (exists & closed)
-        z0 = jnp.int32(0)
-        valid_ref[...] = validm.astype(jnp.uint8)[None]
-        closed_ref[...] = closed.astype(jnp.uint8)[None]
-        start_ref[...] = jnp.where(exists, tstart_ref[...], z0)[None]
-        close_ref[...] = jnp.where(
-            exists, jnp.clip(close_raw, 0, L_true - 1), z0
-        )[None]
-        pidx_ref[...] = jnp.where(exists, tpidx_ref[...], z0)[None]
-        pval_ref[...] = jnp.where(
-            exists, tpval_ref[...], jnp.float32(0.0)
-        )[None]
-        count = jnp.sum(validm.astype(jnp.int32), axis=0, keepdims=True)
-        overflow = (cnt > max_events).astype(jnp.int32)
-        mrow = _row_iota(meta_ref.shape[1])
-        meta_ref[...] = jnp.where(
-            mrow == 0,
-            jnp.broadcast_to(count, meta_ref.shape[1:]),
-            jnp.broadcast_to(overflow, meta_ref.shape[1:]),
-        )[None]
-
-
-def _rshift_zero(y: jax.Array, d: int, fill) -> jax.Array:
-    """Row shift down with a constant fill (no wrap)."""
-    if d == 0:
-        return y
-    head = jnp.full((d,) + y.shape[1:], fill, y.dtype)
-    return jnp.concatenate([head, y[: y.shape[0] - d]], axis=0)
+        tm.event_finalize(
+            valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+            meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+            emit_unclosed=emit_unclosed,
+        )
 
 
 @functools.partial(
@@ -472,11 +285,9 @@ def minn_rtl_detect_fused_tm(
         ),
         interpret=interpret,
     )(x_tiled)
-    # (G, SLOTR, 128) -> (G*128 streams, SLOTR) -> slice true batch/events
-    unpack = lambda a: a.transpose(0, 2, 1).reshape(  # noqa: E731
-        G * LANES, SLOTR
-    )[:batch]
-    valid, closed, start, close, pidx, pval, meta = map(unpack, outs)
+    valid, closed, start, close, pidx, pval, meta = tm.unpack_event_outputs(
+        outs, G, SLOTR, batch
+    )
     E = max_events
     return GateEvents(
         valid=valid[:, :E].astype(bool),
