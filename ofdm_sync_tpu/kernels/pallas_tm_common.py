@@ -74,31 +74,43 @@ def window_sum_rows(z: jax.Array, window: int) -> jax.Array:
     return out
 
 
-def ladder_max_rows(x: jax.Array, fill) -> jax.Array:
-    """Inclusive running max down rows (guarded wrap-concat doubling).
+_GUARD_ROWS = 256
 
-    Cumulative wrap corruption over steps 1..R/2 is < R rows, so an R-row
-    identity guard keeps every real row exact; concat shifts are free."""
+
+def _ladder_rows(x: jax.Array, combine, fill) -> jax.Array:
+    """Inclusive row scan of an associative `combine` with identity `fill`.
+
+    Mirrors `pallas_common._ladder_guarded` with rows in place of lanes: a
+    256-row identity guard absorbs the wrap corruption of the sub-guard
+    doubling steps (cumulative < 255 rows), then the guard is re-filled
+    once and the remaining steps use identity-fill concat shifts (free for
+    the multiples of 8 they all are).  Exact on every real row."""
     R = x.shape[0]
+    G = _GUARD_ROWS
     y = jnp.concatenate(
-        [jnp.full((R,) + x.shape[1:], fill, x.dtype), x], axis=0
+        [jnp.full((G,) + x.shape[1:], fill, x.dtype), x], axis=0
     )
     d = 1
-    while d < R:
-        y = jnp.maximum(y, rshift(y, d))
+    while d < G and d < R:
+        y = combine(y, rshift(y, d))
         d *= 2
-    return y[R:]
+    if d < R:
+        grow = jax.lax.broadcasted_iota(jnp.int32, (R + G, 1), 0)
+        y = jnp.where(grow >= G, y, jnp.full_like(y, fill))
+        while d < R:
+            y = combine(y, rshift_zero(y, d, fill))
+            d *= 2
+    return y[G:]
+
+
+def ladder_max_rows(x: jax.Array, fill) -> jax.Array:
+    """Inclusive running max down rows (guarded doubling, see _ladder_rows)."""
+    return _ladder_rows(x, jnp.maximum, fill)
 
 
 def ladder_sum_rows(x: jax.Array) -> jax.Array:
-    """Inclusive running sum down rows (guarded wrap-concat doubling)."""
-    R = x.shape[0]
-    y = jnp.concatenate([jnp.zeros((R,) + x.shape[1:], x.dtype), x], axis=0)
-    d = 1
-    while d < R:
-        y = y + rshift(y, d)
-        d *= 2
-    return y[R:]
+    """Inclusive running sum down rows (guarded doubling, see _ladder_rows)."""
+    return _ladder_rows(x, lambda a, b: a + b, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -165,3 +165,4 @@ def test_zc_detector_fused_iq_path_matches_detect(rng):
     for a, b in zip(out.events, ref.events):
         assert a.peak_index == b.peak_index
         assert a.detected_start == b.detected_start
+
