@@ -19,6 +19,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 
 Q = 64
@@ -100,9 +102,8 @@ def _worker(rank: int, port: int) -> None:
     print(f"worker {rank}: OK", flush=True)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_detect():
-    import pytest
-
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]

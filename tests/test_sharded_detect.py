@@ -44,6 +44,7 @@ def _streams(rng, batch=4, L=4096, boundary_positions=False):
     return iq
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("boundary", [False, True])
 def test_sharded_detect_equals_unsharded(rng, boundary):
     if len(jax.devices()) < 8:
@@ -70,6 +71,7 @@ def test_sharded_detect_equals_unsharded(rng, boundary):
         )
 
 
+@pytest.mark.slow
 def test_sharded_detect_emit_unclosed(rng):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -139,6 +141,7 @@ def test_sharded_fused_rejects_short_shards():
         sharded_minn_rtl_detect_fused(iq, mesh, **KW)
 
 
+@pytest.mark.slow
 def test_sharded_aa_fused_matches_unsharded(rng):
     """Multi-chip [A][A] detection with in-merge CFO capture == the
     unsharded fused kernel (preamble straddling a seq-shard boundary,
@@ -202,6 +205,7 @@ def test_sharded_aa_fused_matches_unsharded(rng):
         assert abs(cfo_est - cfo) < 40.0, cfo_est
 
 
+@pytest.mark.slow
 def test_sharded_zc_cfar_matches_kernel(rng):
     """Sharded ZC CFAR (cumsum-difference window + collective merge) == the
     fused single-chip CFAR kernel, with peaks on shard boundaries."""
@@ -240,6 +244,7 @@ def test_sharded_zc_cfar_matches_kernel(rng):
         )
 
 
+@pytest.mark.slow
 def test_sharded_fused_channel_leading_matches_natural(rng):
     """channel_leading=True sharded detection (zero per-shard transposes)
     equals the natural-layout sharded path."""
@@ -261,6 +266,7 @@ def test_sharded_fused_channel_leading_matches_natural(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sharded_zc_detect_from_iq(rng):
     """End-to-end sharded ZC detection (per-shard FFT matched filter +
     normalization + CFAR + merge) == the fused CFAR kernel on the
@@ -312,6 +318,7 @@ def test_sharded_zc_detect_from_iq(rng):
         )
 
 
+@pytest.mark.slow
 def test_sharded_aa_fused_channel_leading(rng):
     """channel_leading sharded AA path == natural-layout sharded AA path."""
     if len(jax.devices()) < 8:

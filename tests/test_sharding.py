@@ -68,6 +68,7 @@ def test_blocked_linear_recurrence(mesh, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_minn_rtl_exact(mesh, rng):
     Q = 64
     x = _rx(rng, L=4096)
@@ -120,6 +121,7 @@ def test_sharded_sc_exact(mesh, rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_detection_end_to_end(mesh, rng):
     """Sharded metric -> global event extraction finds the same events."""
     from ofdm_sync_tpu.ops.detect import extract_gate_events
