@@ -416,7 +416,6 @@ def _detect_kernel(
     batch: int,
     tie_last: bool,
     emit_unclosed: bool,
-    event_from: int = 0,
     L_global: int | None = None,
     with_base: bool = False,
     with_init: bool = False,
@@ -432,9 +431,9 @@ def _detect_kernel(
     exactly the metric datapath.
 
     Shard mode (`with_base=True`): the first ref is an SMEM scalar holding
-    the shard's global base index; `event_from` suppresses events in the
-    halo head, and `L_global` replaces `L_true` for close/clip semantics
-    (indices in the emitted table are then global stream positions).
+    the shard's global base index, and `L_global` replaces `L_true` for
+    close/clip semantics (indices in the emitted table are then global
+    stream positions).
 
     Scratch-priming mode (`with_init=True`): three extra input refs follow
     the stream -- hist_init (C, NB, H) IQ history rows, carry_init
@@ -513,8 +512,6 @@ def _detect_kernel(
     gi_local = it * B + jax.lax.broadcasted_iota(jnp.int32, above.shape, 1)
     row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
     above = above & (gi_local < L_true) & (row < batch)
-    if event_from > 0:
-        above = above & (gi_local >= event_from)
     if base is not None:
         above = above & (gi < Lg)
 
@@ -555,7 +552,6 @@ def _detect_kernel(
         "batch_tile",
         "channel_leading",
         "interpret",
-        "event_from",
         "stream_len_global",
     ),
 )
@@ -575,7 +571,6 @@ def minn_rtl_detect_fused_pallas(
     channel_leading: bool = False,
     interpret: bool | None = None,
     base_index: jax.Array | None = None,
-    event_from: int = 0,
     stream_len_global: int | None = None,
     shard_init: tuple | None = None,
 ):
@@ -589,10 +584,8 @@ def minn_rtl_detect_fused_pallas(
 
     Shard mode (used by `parallel.shard.sharded_minn_rtl_detect_fused`):
     `base_index` -- a dynamic int32 scalar -- declares the global stream
-    position of the block's first sample, `event_from` suppresses events in
-    the first `event_from` LOCAL samples (the halo head), and
-    `stream_len_global` supplies the global length for close/validity
-    semantics.  Emitted indices are then global.  `shard_init` --
+    position of the block's first sample and `stream_len_global` supplies
+    the global length for close/validity semantics.  Emitted indices are then global.  `shard_init` --
     (hist_init (C, batch, H), carry_init (batch,), gate_init (batch, 2)
     [last-above global index, open-gate flag]) -- primes the kernel's
     streaming scratch at grid step 0, so a seq shard starts exactly where
@@ -644,7 +637,6 @@ def minn_rtl_detect_fused_pallas(
         batch=batch,
         tie_last=(tie == "last"),
         emit_unclosed=emit_unclosed,
-        event_from=event_from,
         L_global=stream_len_global,
         with_base=with_base,
         with_init=with_init,

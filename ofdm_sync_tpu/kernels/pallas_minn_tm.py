@@ -125,15 +125,23 @@ def _tm_kernel(
         p = pc if p is None else p + pc
     hist_ref[...] = jnp.concatenate(new_hist, axis=0)
 
-    z = jnp.stack([u, p], axis=0)  # (2, HR+R, LANES)
-    d = 1
-    while d < Q:
-        z = z + _rshift(z, d)
-        d *= 2
-    p_q = z[1]
-    z = z + _rshift(z, Q)
-    corr_pos = jnp.maximum(z[0][HR:], 0.0)
-    energy_out = (p_q + _rshift(z[1], Q))[HR:]
+    if Q >= 1 and (Q & (Q - 1)) == 0:
+        # power-of-two Q: the 2Q and 3Q window ladders share every doubling
+        # (same joint form as pallas_minn._corr_energy_rows)
+        z = jnp.stack([u, p], axis=0)  # (2, HR+R, LANES)
+        d = 1
+        while d < Q:
+            z = z + _rshift(z, d)
+            d *= 2
+        p_q = z[1]
+        z = z + _rshift(z, Q)
+        corr_pos = jnp.maximum(z[0][HR:], 0.0)
+        energy_out = (p_q + _rshift(z[1], Q))[HR:]
+    else:
+        # general Q: binary-decomposition window sums (wrap garbage
+        # < window - 1 <= HR, discarded with the [HR:] slice)
+        corr_pos = jnp.maximum(tm.window_sum_rows(u, 2 * Q)[HR:], 0.0)
+        energy_out = tm.window_sum_rows(p, 3 * Q)[HR:]
 
     gi_col = it * R + _row_iota(R)  # (R, 1) global sample index
     validc = gi_col >= valid_from   # column mask, broadcasts over lanes

@@ -648,24 +648,32 @@ def sharded_minn_rtl_detect_fused(
     layout (rows [b0_i, b0_q, b1_i, b1_q]), which avoids the per-shard HBM
     layout transpose entirely.
 
-    Per shard: a 3Q halo exchange over ICI, then the SAME fused detect
-    kernel as the single-chip path runs on the halo-extended block in shard
-    mode (`base_index` = global offset, events suppressed in the halo head)
-    -- so the per-chip cost IS the single-chip fused-kernel cost, not a
-    corr/energy + XLA-stitch two-phase (round 1's form measured 3.5x
-    slower per chip, bench_scaling.py).  Correctness of the per-shard
-    smoothing state: the constant-decay scan's memory is < 256 samples
-    (`pallas_common.const_decay_scan` truncation bound), so starting it
-    from zero at the 3Q = 1536-sample halo head converges to the global
-    value before any real sample; the window-ladder trees are
-    translation-invariant.  Each shard's last `h` halo samples keep their
-    above-bits visible (`event_from = 3Q - h`) so boundary-gap samples are
-    peak-tracked by the right shard; `_merge_shard_event_tables` then
-    stitches gates that span shard seams (gap <= h rule, index-aware peak
-    ties) from the all-gathered per-shard tables -- a few hundred bytes
-    per shard instead of the per-sample array merge.  Returns GateEvents
-    with batch over 'data', replicated over 'seq' -- equal to the unsharded
-    fused detection (tests place gates on shard boundaries).
+    Per shard: ONE ppermute brings a W = 3Q + scan-memory + h sample halo
+    from the left neighbor, which PRIMES the single-chip fused detect
+    kernel's streaming scratch (IQ history rows directly; smoothing carry
+    and gate-FSM state from a small XLA metric pass over the halo) -- the
+    halo is never concatenated onto the stream, so the per-chip cost IS the
+    single-chip fused-kernel cost (measured 1.04x, bench_scaling.py;
+    round 1's corr/energy + XLA-stitch two-phase measured 3.5x).  The
+    kernel runs in shard mode (`base_index` = global offset via an SMEM
+    scalar), so emitted event indices are global.
+
+    Correctness of the priming: the truncated constant-decay scan's memory
+    is the lags its doubling steps cover (`pallas_common.const_decay_scan`
+    skips steps with decay**step <= 2^-45) -- 256 samples at the
+    reference's smooth_shift=3, ~2k at smooth_shift=6 -- and W reserves
+    exactly that runway after the halo's own 3Q warm-up, so the carried
+    smoothing state is sub-ulp-converged for ANY smooth_shift; the
+    window-ladder trees are translation-invariant.  A gate still open at
+    the seam is continued via the primed last-above index (computed from
+    the halo's final h samples, hence the +h in W), so the seam gap
+    samples are peak-tracked by the right shard; `_merge_shard_event_
+    tables` then stitches seam-spanning gates (gap <= h rule, index-aware
+    peak ties, later close wins) from the all-gathered per-shard tables --
+    a few hundred bytes per shard instead of a per-sample array merge.
+    Returns GateEvents with batch over 'data', replicated over 'seq' --
+    equal to the unsharded fused detection (tests place gates on shard
+    boundaries).
     """
     from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
     from ofdm_sync_tpu.ops.detect import GateEvents
@@ -679,22 +687,32 @@ def sharded_minn_rtl_detect_fused(
     if n % n_seq or batch_dim % n_data:
         raise ValueError("batch/stream dims not divisible by mesh axes")
     block = n // n_seq
-    if block < history + 256:
-        raise ValueError(
-            f"seq shard of {block} samples is shorter than the "
-            f"3Q+256={history + 256} halo (delay-line reach + smoothing "
-            "memory); use fewer seq shards"
-        )
     h = max(int(hysteresis), 1)
     tie_last = tie == "last"
 
     from ofdm_sync_tpu.kernels.streaming import minn_rtl_metric_planar
 
     alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
+    decay = 1.0 - alpha
     valid_from = max(0, 3 * Q - 1)
-    # halo = delay-line reach (3Q) + the smoothing scan's sub-ulp memory
-    # (256 samples: pallas_common.const_decay_scan truncation bound)
-    W = history + 256
+    # the truncated in-kernel scan's memory: sum of the doubling steps it
+    # executes (pallas_common.const_decay_scan skips decay**step <= 2^-45)
+    scan_mem = 0
+    step = 1
+    while np.float32(decay**step) > 2.0**-45:
+        scan_mem += step
+        step *= 2
+    # halo = delay-line reach (3Q) + scan runway + the h-sample tail whose
+    # above-bits prime the gate FSM (those bits themselves need the full
+    # runway before them)
+    W = history + scan_mem + 1 + h
+    if block < W:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the W={W} halo "
+            f"(3Q delay-line reach + {scan_mem + 1}-sample smoothing "
+            f"runway at smooth_shift={smooth_shift} + hysteresis={h}); "
+            "use fewer seq shards"
+        )
 
     def shard_fn(blk):
         # blk: (B_loc, branches, 2, block), or (C, B_loc, block) when
@@ -712,6 +730,12 @@ def sharded_minn_rtl_detect_fused(
             tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
         )
         halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
+        # int16 ADC input: the XLA halo-metric pass below would overflow in
+        # integer arithmetic (i*i + q*q wraps for int12 codes); the tiny
+        # halo is converted here, the main stream stays int16 into the
+        # kernel (converted in-VMEM)
+        if halo.dtype != jnp.float32:
+            halo = halo.astype(jnp.float32)
 
         # halo metric in natural (batch, branches, 2, W) layout (tiny)
         if channel_leading:
@@ -801,13 +825,23 @@ def _merge_shard_event_tables(
     seam (see `sharded_minn_rtl_detect_fused`) harmless.
     """
     i32 = jnp.int32
-    gathered = [
-        jax.lax.all_gather(x, axis_name)
-        for x in (
+    # pack the integer fields into ONE buffer so the merge costs two
+    # collectives (i32 + f32), not seven
+    packed = jnp.concatenate(
+        [
             table.gate_start, table.gate_close, table.peak_idx,
-            table.peak_value, table.closed, table.count, table.overflow,
-        )
-    ]
+            table.closed.astype(i32),
+            table.count[:, None], table.overflow.astype(i32)[:, None],
+        ],
+        axis=-1,
+    )  # (B, 4E + 2)
+    gi32 = jax.lax.all_gather(packed, axis_name)      # (n_seq, B, 4E+2)
+    gf32 = jax.lax.all_gather(table.peak_value, axis_name)  # (n_seq, B, E)
+    gathered = (
+        gi32[..., 0:E], gi32[..., E : 2 * E], gi32[..., 2 * E : 3 * E],
+        gf32, gi32[..., 3 * E : 4 * E].astype(bool),
+        gi32[..., 4 * E], gi32[..., 4 * E + 1].astype(bool),
+    )
     n_seq = gathered[0].shape[0]
     B = gathered[0].shape[1]
     slot = jnp.arange(E, dtype=i32)[None, :]

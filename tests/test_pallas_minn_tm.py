@@ -108,3 +108,27 @@ def test_tm_stream_length_padding(rng):
     x = _stimulus(rng, batch, L, [(0, L - 6 * Q), (1, 500)])
     ref, out = _run_both(x, L, batch)
     _assert_tables_equal(ref, out)
+
+
+def test_tm_non_power_of_two_q(rng):
+    """Non-power-of-two quarter_len takes the binary-decomposition window
+    path and still matches the lane-major kernel exactly (r2 review fix)."""
+    Qn, batch, L = 48, 3, 3 * R
+    x = (0.25 * rng.standard_normal((4, batch, L))).astype(np.float32)
+    A = rng.standard_normal(Qn) + 1j * rng.standard_normal(Qn)
+    pre = np.concatenate([-A, A, A, -A, -A])
+    pre /= np.sqrt(np.mean(np.abs(pre) ** 2))
+    for b, pos in ((0, 400), (1, R - Qn), (2, 2 * R - 300)):
+        for c, comp in ((0, pre.real), (1, pre.imag), (2, pre.real),
+                        (3, pre.imag)):
+            x[c, b, pos : pos + 5 * Qn] += 3 * comp.astype(np.float32)
+    cl = jnp.asarray(x)
+    kw = dict(quarter_len=Qn, smooth_shift=3, threshold_value=3276,
+              threshold_frac_bits=15, hysteresis=2)
+    ref = minn_rtl_detect_fused_pallas(cl, **kw, block=1024,
+                                       channel_leading=True)
+    xt, G, NT = to_time_tiled(cl, R)
+    out = minn_rtl_detect_fused_tm(xt, **kw, rows=R, stream_len=L,
+                                   batch=batch)
+    assert int(np.asarray(ref.count).sum()) >= 2
+    _assert_tables_equal(ref, out)

@@ -344,3 +344,75 @@ def test_sharded_aa_fused_channel_leading(rng):
     for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(ta[0].count[0]) >= 1
+
+
+@pytest.mark.slow
+def test_sharded_fused_priming_regimes(rng):
+    """Review-driven regression: the halo priming must stay exact for
+    (a) large smooth_shift (long scan memory), (b) hysteresis wider than
+    the old fixed tail, and (c) int16 ADC input (the XLA halo pass must
+    not do integer arithmetic)."""
+    from ofdm_sync_tpu.parallel.shard import sharded_minn_rtl_detect_fused
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    Q = 32
+    L = 1 << 14
+    Lb = L // 4
+    iq = np.zeros((2, 2, 2, L), np.float32)
+    for b in range(2):
+        sig = np.zeros(L, complex)
+        pre = build_minn_rtl_preamble(
+            "qpsk_freq", rng=np.random.default_rng(b), Q=Q
+        )
+        # one event straddling a seq boundary, one interior
+        for pos in (Lb - 2 * Q + 37 * b, 2 * Lb + 500):
+            sig[pos : pos + 5 * Q] = pre
+        rx = np.stack([sig, 0.8 * sig]) + 0.03 * (
+            rng.standard_normal((2, L)) + 1j * rng.standard_normal((2, L))
+        )
+        iq[b] = np.asarray(to_planar(jnp.asarray(rx)))
+
+    for kw in (
+        dict(quarter_len=Q, smooth_shift=6, threshold_value=3276,
+             threshold_frac_bits=15, hysteresis=2),
+        dict(quarter_len=Q, smooth_shift=3, threshold_value=3276,
+             threshold_frac_bits=15, hysteresis=400),
+    ):
+        table = sharded_minn_rtl_detect_fused(
+            jnp.asarray(iq), mesh, **kw, kernel_block=1024
+        )
+        for b in range(2):
+            _, ref = minn_rtl_detect_planar(jnp.asarray(iq[b]), **kw)
+            assert int(table.count[b]) == int(ref.count), (kw, b)
+            k = int(ref.count)
+            assert k >= 1
+            for f in ("gate_start", "gate_close", "peak_idx"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(table, f))[b][:k],
+                    np.asarray(getattr(ref, f))[:k],
+                    err_msg=f"{f} {kw}",
+                )
+
+    # int16: channel-leading quantized input == f32 input on the same values
+    kw = dict(quarter_len=Q, smooth_shift=3, threshold_value=3276,
+              threshold_frac_bits=15, hysteresis=2)
+    cl = jnp.asarray(
+        np.clip(np.round(iq.reshape(2, 4, L).transpose(1, 0, 2) * 512),
+                -2048, 2047)
+    )
+    t16 = sharded_minn_rtl_detect_fused(
+        cl.astype(jnp.int16), mesh, **kw, kernel_block=1024,
+        channel_leading=True,
+    )
+    tf = sharded_minn_rtl_detect_fused(
+        cl.astype(jnp.float32), mesh, **kw, kernel_block=1024,
+        channel_leading=True,
+    )
+    for f in ("count", "gate_start", "gate_close", "peak_idx", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t16, f)), np.asarray(getattr(tf, f)),
+            err_msg=f,
+        )
+    assert int(np.asarray(t16.count).sum()) >= 2
