@@ -171,6 +171,36 @@ def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096) -> float:
     return sorted(lats)[len(lats) // 2] * 1e3
 
 
+def _tm_subprocess(batch: int, stream_len: int, iters: int,
+                   timeout_s: int = 420):
+    """Run the TM headline in a watchdog subprocess.
+
+    The axon tunnel's remote Mosaic compile occasionally takes minutes for
+    the time-major kernel (observed 20-400 s); a blocked XLA compile cannot
+    be interrupted in-process, so the watchdog guarantees the bench always
+    produces a number (falling back to the lane-major kernel on timeout).
+    """
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, {root!r});"
+        "import bench; sps, dt = bench._run_tm({b}, {s}, {i});"
+        "print('TM_RESULT', sps, dt)"
+    ).format(root=str(__import__("pathlib").Path(__file__).parent),
+             b=batch, s=stream_len, i=iters)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=timeout_s,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("TM_RESULT"):
+            _, sps, dt = line.split()
+            return float(sps), float(dt)
+    raise RuntimeError(
+        f"tm subprocess rc={proc.returncode}: {proc.stderr[-500:]}"
+    )
+
+
 def main() -> None:
     import jax
 
@@ -184,7 +214,10 @@ def main() -> None:
 
     path = "tm"
     try:
-        sps, dt = _run_tm(batch, stream_len, iters)
+        if platform == "cpu":
+            sps, dt = _run_tm(batch, stream_len, iters)
+        else:
+            sps, dt = _tm_subprocess(batch, stream_len, iters)
     except Exception as e:  # pragma: no cover - defensive hardware fallback
         print(f"bench: time-major path failed ({type(e).__name__}: {e}); "
               "falling back to the lane-major fused kernel", file=sys.stderr)
