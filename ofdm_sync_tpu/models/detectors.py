@@ -269,6 +269,12 @@ class ZCFreqDetector:
     sys: SystemParams = SYS_30M72
     params: ZCParams = ZCParams()
     chunk: int = 512
+    #: 'fft' = the reference's chunked per-offset-FFT form (exact parity);
+    #: 'sliding' = the TPU-native sliding-DFT form (each template bin is a
+    #: windowed sum of a modulated stream -- ~100x the FFT form's
+    #: throughput on the TPU, equal metric to f32 accumulation; see
+    #: ops.metrics.zc_freq_metric_sliding)
+    form: str = "fft"
 
     def template(self):
         return (
@@ -279,6 +285,11 @@ class ZCFreqDetector:
     @partial(jax.jit, static_argnums=0)
     def _metric_jit(self, rx):
         bins, tmpl = self.template()
+        if self.form == "sliding":
+            return M.zc_freq_metric_sliding(
+                rx, jnp.asarray(tmpl, _C64), bins, self.sys.n_fft,
+                self.sys.cp_len,
+            )
         return M.zc_freq_metric(
             rx, jnp.asarray(tmpl, _C64), bins, self.sys.n_fft, self.sys.cp_len,
             chunk=self.chunk,

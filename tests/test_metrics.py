@@ -194,3 +194,65 @@ def test_zc_freq_metric_peak(rng):
     )
     peak = int(np.argmax(np.asarray(metric)))
     assert abs(peak - 300) <= 4
+    # value-level check against a direct per-offset NumPy computation
+    # (an argmax-only assertion once let a per-chunk-energy reduction bug
+    # through; see r2 review)
+    tmpl = np.asarray(generate_zadoff_chu(25, 62))
+    positions = (N // 2 + np.asarray(centered_subcarrier_indices(62))) % N
+    for off in (peak - 40, peak, peak + 77):
+        corr = 0.0
+        energy = 0.0
+        for b in range(x.shape[0]):
+            win = np.asarray(x)[b, off + 64 : off + 64 + N]
+            binv = np.fft.fftshift(np.fft.fft(win))[positions]
+            corr += np.sum(np.conj(tmpl) * binv)
+            energy += np.sum(np.abs(binv) ** 2)
+        want = abs(corr) ** 2 / max(np.sum(np.abs(tmpl) ** 2) * energy, 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(metric)[off], want, rtol=2e-3, err_msg=str(off)
+        )
+
+
+def test_zc_freq_metric_sliding_matches_fft(rng):
+    """The TPU-native sliding-DFT form == the chunked-FFT form (values, not
+    just the peak)."""
+    from ofdm_sync_tpu.ops.waveforms import (
+        build_pss_symbol,
+        centered_subcarrier_indices,
+        generate_zadoff_chu,
+    )
+    from ofdm_sync_tpu.params import SystemParams
+
+    sys = SystemParams(n_fft=N, num_active=180, cp_len=64, tx_pre_pad=0)
+    sym = build_pss_symbol(sys, include_cp=True)
+    x = _with_preamble(rng, sym, snr=15.0)
+    args = (
+        jnp.asarray(x, jnp.complex64),
+        jnp.asarray(generate_zadoff_chu(25, 62)),
+        centered_subcarrier_indices(62),
+    )
+    m_fft = np.asarray(M.zc_freq_metric(*args, n_fft=N, cp_len=64, chunk=128))
+    m_sl = np.asarray(M.zc_freq_metric_sliding(*args, n_fft=N, cp_len=64))
+    assert m_sl.shape == m_fft.shape
+    assert int(m_sl.argmax()) == int(m_fft.argmax())
+    np.testing.assert_allclose(
+        m_sl, m_fft, atol=2e-4 * max(1.0, m_fft.max()), rtol=2e-3
+    )
+
+
+def test_zc_freq_detector_sliding_form(rng):
+    from ofdm_sync_tpu.models.detectors import ZCFreqDetector
+    from ofdm_sync_tpu.params import SystemParams, ZCParams
+
+    sp = SystemParams(n_fft=N, num_active=180, cp_len=64, tx_pre_pad=0)
+    from ofdm_sync_tpu.ops.waveforms import build_pss_symbol
+
+    sym = build_pss_symbol(sp, include_cp=True)
+    x = _with_preamble(rng, sym, snr=15.0)
+    a = ZCFreqDetector(sys=sp, params=ZCParams()).detect(
+        jnp.asarray(x, jnp.complex64)
+    )
+    b = ZCFreqDetector(sys=sp, params=ZCParams(), form="sliding").detect(
+        jnp.asarray(x, jnp.complex64)
+    )
+    assert a["detected_cp_start"] == b["detected_cp_start"]
