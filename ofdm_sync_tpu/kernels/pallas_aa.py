@@ -219,27 +219,7 @@ def minn_metric_planar_pallas(
 
 
 def _aa_kernel(
-    x_ref,
-    valid_ref,
-    closed_ref,
-    start_ref,
-    close_ref,
-    pidx_ref,
-    pval_ref,
-    meta_ref,
-    pre_ref,
-    pim_ref,
-    mpk_ref,
-    hist_ref,
-    gate_ref,
-    tstart_ref,
-    tlast_ref,
-    tpidx_ref,
-    tpval_ref,
-    spre_ref,
-    spim_ref,
-    sm_ref,
-    *,
+    *refs,
     L: int,
     H: int,
     B: int,
@@ -251,25 +231,69 @@ def _aa_kernel(
     batch: int,
     tie_last: bool,
     emit_unclosed: bool,
+    L_global: int | None = None,
+    with_base: bool = False,
+    with_init: bool = False,
 ):
+    """Fused [A][A] metric + gate/peak FSM with CFO capture at the peak.
+
+    Shard mode mirrors pallas_minn._detect_kernel: `with_base` prepends an
+    SMEM scalar ref holding the shard's global base index (event indices
+    and validity become global); `with_init` adds (hist_init, gate_init)
+    input refs that prime the streaming scratch at grid step 0 -- the AA
+    metric has no smoothing IIR, so priming needs no carry term.
+    """
+    i = 0
+    if with_base:
+        base = refs[i][0]
+        i += 1
+    else:
+        base = None
+    x_ref = refs[i]
+    i += 1
+    if with_init:
+        hist_init_ref, gate_init_ref = refs[i : i + 2]
+        i += 2
+    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+     meta_ref, pre_ref, pim_ref, mpk_ref, hist_ref, gate_ref, tstart_ref,
+     tlast_ref, tpidx_ref, tpval_ref, spre_ref, spim_ref, sm_ref) = refs[i:]
     it = pl.program_id(1)
     ib = pl.program_id(0)
+    Lg = L_true if L_global is None else L_global
 
     @pl.when(it == 0)
     def _():
-        hist_ref[...] = jnp.zeros_like(hist_ref)
         common.event_scratch_init(
             gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
             (spre_ref, spim_ref, sm_ref), tie_last=tie_last,
         )
+        if with_init:
+            hist_ref[...] = hist_init_ref[...]
+            gl = jax.lax.broadcasted_iota(jnp.int32, gate_ref.shape, 1)
+            gate_ref[...] = jnp.where(
+                gl == 0,
+                jnp.broadcast_to(
+                    gate_init_ref[...][..., 0:1], gate_ref.shape
+                ),
+                jnp.where(
+                    gl == 1,
+                    jnp.broadcast_to(
+                        gate_init_ref[...][..., 1:2], gate_ref.shape
+                    ),
+                    gate_ref[...],
+                ),
+            )
+        else:
+            hist_ref[...] = jnp.zeros_like(hist_ref)
 
     # Layout (C=2*BR, NB, time): channel rows LEADING so the tiled dims are
     # (NB=8, lanes) with zero sublane padding, and the row axis is the cheap
     # untiled leading dim.  Row order and lag-product math: _aa_metric_rows.
     P_re, P_im, R = _aa_metric_rows(x_ref[...], hist_ref, L=L, H=H)
 
-    gi = it * B + jax.lax.broadcasted_iota(jnp.int32, P_re.shape, 1)
-    valid = gi >= L
+    gi_local = it * B + jax.lax.broadcasted_iota(jnp.int32, P_re.shape, 1)
+    gi = gi_local if base is None else gi_local + base
+    valid = gi >= L  # global validity: interior shards' halo'd metric is live
     p_sq = P_re * P_re + P_im * P_im
     noise_floor = jnp.float32(1e-6 * L)
     eps = jnp.float32(1e-12)
@@ -280,24 +304,31 @@ def _aa_kernel(
     )
     above = valid & (M >= jnp.float32(threshold))
     row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
-    above = above & (gi < L_true) & (row < batch)
+    above = above & (gi_local < L_true) & (row < batch)
+    if base is not None:
+        above = above & (gi < Lg)
 
+    block_start = it * B if base is None else base + it * B
     # peak is tracked on |P|^2, NOT on M (reference sync_aa.py:522-529)
     common.event_update(
         above, p_sq, gi, it,
         B=B, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=L_true,
+        tie_last=tie_last, L_true=Lg,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
         extras=(P_re, P_im, M), extra_refs=(spre_ref, spim_ref, sm_ref),
+        block_start=block_start,
     )
-    common.event_finalize(
-        valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
-        meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
-        (pre_ref, pim_ref, mpk_ref), (spre_ref, spim_ref, sm_ref),
-        hysteresis=hysteresis, max_events=max_events, L_true=L_true,
-        emit_unclosed=emit_unclosed,
-    )
+
+    @pl.when(it == pl.num_programs(1) - 1)
+    def _():
+        common.event_finalize(
+            valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+            meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            (pre_ref, pim_ref, mpk_ref), (spre_ref, spim_ref, sm_ref),
+            hysteresis=hysteresis, max_events=max_events, L_true=Lg,
+            emit_unclosed=emit_unclosed,
+        )
 
 
 @functools.partial(
@@ -313,6 +344,7 @@ def _aa_kernel(
         "batch_tile",
         "channel_leading",
         "interpret",
+        "stream_len_global",
     ),
 )
 def aa_detect_fused_pallas(
@@ -328,8 +360,20 @@ def aa_detect_fused_pallas(
     batch_tile: int = 8,
     channel_leading: bool = False,
     interpret: bool | None = None,
+    base_index: jax.Array | None = None,
+    stream_len_global: int | None = None,
+    shard_init: tuple | None = None,
 ):
     """Fully-fused [A][A] detection on planar float32 IQ.
+
+    Shard mode (used by `parallel.shard.sharded_aa_detect_fused`):
+    `base_index` (dynamic int32 scalar) declares the global position of the
+    block's first sample, `stream_len_global` the global length, and
+    `shard_init` -- (hist_init (C, batch, <=H) IQ history rows, gate_init
+    (batch, 2) [last-above global index, open-gate flag]) -- primes the
+    streaming scratch so a seq shard continues exactly where its left
+    neighbor ended.  The AA metric has no smoothing IIR, so no carry is
+    needed.
 
     iq: (batch, branches, 2, L) or unbatched (branches, 2, L); with
     `channel_leading=True`, the framework-native branch-major
@@ -364,6 +408,8 @@ def aa_detect_fused_pallas(
     H = common.round_up(max(2 * L, _LANE), _LANE)
     x = common.pad_channel_leading(x, Np, Lp)
 
+    with_base = base_index is not None
+    with_init = shard_init is not None
     kernel = functools.partial(
         _aa_kernel,
         L=L,
@@ -377,6 +423,9 @@ def aa_detect_fused_pallas(
         batch=batch,
         tie_last=(tie == "last"),
         emit_unclosed=emit_unclosed,
+        L_global=stream_len_global,
+        with_base=with_base,
+        with_init=with_init,
     )
     i32 = jnp.int32
     f32 = jnp.float32
@@ -393,12 +442,32 @@ def aa_detect_fused_pallas(
         jax.ShapeDtypeStruct((Np, _LANE), f32),        # M at peak
     ]
     ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
+    in_specs = [pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))]
+    operands = [x]
+    if with_init:
+        hist_init, gate_init = shard_init
+        # hist rows are RIGHT-aligned: hist[..., H-1] immediately precedes
+        # the block (the kernel's ext = [hist, x])
+        hlen = min(hist_init.shape[-1], H)
+        hpad = jnp.zeros((C, Np, H), jnp.float32)
+        hpad = hpad.at[:, :batch, H - hlen :].set(
+            hist_init.astype(jnp.float32)[..., -hlen:]
+        )
+        gpad = jnp.full((Np, _LANE), -1, jnp.int32)
+        gpad = gpad.at[:, 1].set(0)
+        gpad = gpad.at[:batch, :2].set(gate_init.astype(jnp.int32))
+        in_specs += [
+            pl.BlockSpec((C, NB, H), lambda ib, it: (0, ib, 0)),
+            pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0)),
+        ]
+        operands += [hpad, gpad]
+    if with_base:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(0, jnp.asarray(base_index, jnp.int32).reshape(1))
     outs = pl.pallas_call(
         kernel,
         grid=(Np // NB, Lp // B),
-        in_specs=[
-            pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))
-        ],
+        in_specs=in_specs,
         out_specs=[ev_spec] * 10,
         out_shape=out_shape,
         scratch_shapes=[
@@ -416,7 +485,7 @@ def aa_detect_fused_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x)
+    )(*operands)
     (valid, closed, gate_start, gate_close, peak_idx, peak_val, meta,
      p_re, p_im, m_pk) = [o[:batch] for o in outs]
     E = max_events

@@ -808,7 +808,7 @@ def sharded_minn_rtl_detect_fused(
 
 def _merge_shard_event_tables(
     table, *, axis_name: str, h: int, E: int, tie_last: bool,
-    emit_unclosed: bool,
+    emit_unclosed: bool, extras=(),
 ):
     """Stitch per-seq-shard GateEvents tables into the global table.
 
@@ -836,7 +836,11 @@ def _merge_shard_event_tables(
         axis=-1,
     )  # (B, 4E + 2)
     gi32 = jax.lax.all_gather(packed, axis_name)      # (n_seq, B, 4E+2)
-    gf32 = jax.lax.all_gather(table.peak_value, axis_name)  # (n_seq, B, E)
+    # f32 fields: peak_value plus any capture-at-peak side channels, packed
+    # into the second (and last) collective
+    K = 1 + len(extras)
+    fpacked = jnp.concatenate([table.peak_value, *extras], axis=-1)
+    gf32 = jax.lax.all_gather(fpacked, axis_name)     # (n_seq, B, K*E)
     gathered = (
         gi32[..., 0:E], gi32[..., E : 2 * E], gi32[..., 2 * E : 3 * E],
         gf32, gi32[..., 3 * E : 4 * E].astype(bool),
@@ -852,9 +856,12 @@ def _merge_shard_event_tables(
         has = s_cnt > 0
         merge = has & (cnt > 0) & (s_start[:, 0] - trail_la <= h)
 
-        # merge the shard's first piece into the trailing output event
+        # merge the shard's first piece into the trailing output event.
+        # o_pval/s_pval carry K packed f32 fields per slot (peak_value at
+        # field 0 decides `take`; extras follow the same selection).
         last_slot = jnp.clip(cnt - 1, 0, E - 1)[:, None]
         sel_last = (slot == last_slot) & merge[:, None]
+        fsel_last = jnp.tile(sel_last, (1, K))
         cur_pv = jnp.take_along_axis(o_pval, last_slot, 1)[:, 0]
         cur_pi = jnp.take_along_axis(o_pidx, last_slot, 1)[:, 0]
         new_pv, new_pi = s_pval[:, 0], s_pidx[:, 0]
@@ -862,9 +869,17 @@ def _merge_shard_event_tables(
             take = (new_pv > cur_pv) | ((new_pv == cur_pv) & (new_pi > cur_pi))
         else:
             take = (new_pv > cur_pv) | ((new_pv == cur_pv) & (new_pi < cur_pi))
-        mg_pv = jnp.where(take, new_pv, cur_pv)
+        cur_f = jnp.take_along_axis(
+            o_pval, last_slot + E * jnp.arange(K, dtype=i32)[None, :], 1
+        )  # (B, K): current packed fields of the trailing event
+        new_f = s_pval[
+            :, jnp.arange(K, dtype=i32) * E
+        ]  # (B, K): the piece's slot-0 packed fields
+        mg_f = jnp.where(take[:, None], new_f, cur_f)
         mg_pi = jnp.where(take, new_pi, cur_pi)
-        o_pval = jnp.where(sel_last, mg_pv[:, None], o_pval)
+        o_pval = jnp.where(
+            fsel_last, jnp.repeat(mg_f, E, axis=-1), o_pval
+        )
         o_pidx = jnp.where(sel_last, mg_pi[:, None], o_pidx)
         # close: the LATER close wins (a gap-only continuation piece -- a
         # primed gate with no above samples in this shard -- carries an
@@ -881,14 +896,21 @@ def _merge_shard_event_tables(
 
         # append the remaining pieces in order
         drop = merge.astype(i32)
+        koff = jnp.arange(K, dtype=i32)[None, :] * E  # packed-field offsets
         for e in range(E):
             src_ok = (e < s_cnt) & ~(merge & (e == 0))
             dst = cnt + e - drop
             sel = src_ok[:, None] & (slot == dst[:, None])
+            fsel = jnp.tile(sel, (1, K))
             o_start = jnp.where(sel, s_start[:, e : e + 1], o_start)
             o_close = jnp.where(sel, s_close[:, e : e + 1], o_close)
             o_pidx = jnp.where(sel, s_pidx[:, e : e + 1], o_pidx)
-            o_pval = jnp.where(sel, s_pval[:, e : e + 1], o_pval)
+            o_pval = jnp.where(
+                fsel,
+                jnp.repeat(jnp.take_along_axis(s_pval, e + koff, 1), E,
+                           axis=-1),
+                o_pval,
+            )
             o_closed = jnp.where(sel, s_closed[:, e : e + 1], o_closed)
         total = cnt + jnp.where(has, s_cnt - drop, 0)
         ovf = ovf | s_ovf | (total > E)
@@ -901,7 +923,7 @@ def _merge_shard_event_tables(
 
     z = jnp.zeros((B, E), i32)
     init = (
-        z, z, z, jnp.zeros((B, E), jnp.float32), jnp.zeros((B, E), bool),
+        z, z, z, jnp.zeros((B, K * E), jnp.float32), jnp.zeros((B, E), bool),
         jnp.zeros((B,), i32), jnp.zeros((B,), bool),
         jnp.full((B,), jnp.iinfo(jnp.int32).min // 2, i32),
     )
@@ -911,16 +933,20 @@ def _merge_shard_event_tables(
     exists = slot < cnt[:, None]
     valid = exists & (o_closed | emit_unclosed)
     z0 = jnp.int32(0)
-    return (
+    fexists = jnp.tile(exists, (1, K))
+    fvals = jnp.where(fexists, o_pval, jnp.float32(0.0))
+    out = (
         valid,
         o_closed & exists,
         jnp.where(exists, o_start, z0),
         jnp.where(exists, o_close, z0),
         jnp.where(exists, o_pidx, z0),
-        jnp.where(exists, o_pval, jnp.float32(0.0)),
+        fvals[:, :E],
         jnp.sum(valid.astype(i32), axis=-1),
         ovf,
     )
+    extra_out = tuple(fvals[:, k * E : (k + 1) * E] for k in range(1, K))
+    return out + extra_out
 
 
 def sharded_aa_detect_fused(
@@ -938,23 +964,33 @@ def sharded_aa_detect_fused(
     channel_leading: bool = False,
     interpret: bool | None = None,
 ):
-    """Production multi-chip [A][A] detection: per-shard fused Pallas metric
-    kernel + collective event merge with CFO capture at the peak.
+    """Production multi-chip [A][A] detection: the FULL single-chip fused
+    AA kernel per seq shard (halo primes its streaming scratch) + a
+    table-level collective event merge with CFO capture at the peak.
 
     iq: (batch, branches, 2, L) float32, batch over 'data', L over 'seq';
     with `channel_leading=True`, the framework-native (2*branches, batch, L)
     layout (rows [b0_i, b0_q, b1_i, b1_q]), avoiding the per-shard HBM
     layout transpose.
+
+    Same priming design as `sharded_minn_rtl_detect_fused`, but simpler:
+    the AA metric has no smoothing IIR, so the halo is just the 2L
+    delay-line/window reach plus the h-sample tail whose above-bits prime
+    the gate FSM -- one ppermute, a tiny XLA metric pass over the halo,
+    and the per-shard kernel then emits GLOBAL event tables (with
+    (P_re, P_im, M) captured at each peak) that
+    `_merge_shard_event_tables` stitches across seams, extras included.
+
     Returns (GateEvents, P_at_peak (..., 2, E) planar, M_at_peak (..., E)) --
     the same contract as `kernels.pallas_aa.aa_detect_fused_pallas` (CFO =
     angle(P)·fs/(2πL), frame start = peak − 2L + 1, reference
     sync_aa.py:533-540), with batch over 'data', replicated over 'seq'.
     """
-    from ofdm_sync_tpu.kernels.pallas_aa import aa_metric_planar_pallas
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+    from ofdm_sync_tpu.kernels.streaming import aa_metric_planar
     from ofdm_sync_tpu.ops.detect import GateEvents
 
     L = half_len
-    history = 2 * L
     n = iq.shape[-1]
     n_seq = mesh.shape["seq"]
     n_data = mesh.shape["data"]
@@ -962,47 +998,74 @@ def sharded_aa_detect_fused(
     if n % n_seq or batch_dim % n_data:
         raise ValueError("batch/stream dims not divisible by mesh axes")
     block = n // n_seq
-    if block < history:
-        raise ValueError(
-            f"seq shard of {block} samples is shorter than the 2L={history} "
-            "halo; use fewer seq shards"
-        )
     h = max(int(hysteresis), 1)
+    tie_last = tie == "last"
+    # halo = window + lag reach (2L; the last H = round_up(2L, 128) samples
+    # prime the kernel's history rows) + the h-sample gate tail, whose
+    # above-bits need full 2L-1 tap support themselves
+    W = -(-2 * L // 128) * 128 + h
+    if block < W:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the W={W} halo "
+            f"(2L window/lag reach + hysteresis={h} gate tail); use fewer "
+            "seq shards"
+        )
 
     def shard_fn(blk):
         # blk: (B_loc, branches, 2, block), or (C, B_loc, block) when
-        # channel-leading (halo exchange works on the last axis either way)
-        ext = halo_exchange(blk, history, 0, "seq")
-        P_re, P_im, R = aa_metric_planar_pallas(
-            ext,
+        # channel-leading
+        sidx = jax.lax.axis_index("seq")
+        tail = blk[..., -W:]
+        from_left = jax.lax.ppermute(
+            tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
+        )
+        halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
+        if halo.dtype != jnp.float32:
+            halo = halo.astype(jnp.float32)
+
+        # gate priming from the halo's final h samples (XLA metric pass on
+        # the tiny halo; positions >= 2L-1 have full in-halo tap support)
+        if channel_leading:
+            hb = halo.transpose(1, 0, 2)
+            hb = hb.reshape(hb.shape[0], hb.shape[1] // 2, 2, W)
+        else:
+            hb = halo
+        st = aa_metric_planar(hb, L)
+        shard_start = sidx * block
+        gi_tail = shard_start - h + jnp.arange(h, dtype=jnp.int32)
+        M_tail = st.M[..., -h:]
+        above_tail = (M_tail >= jnp.float32(threshold)) & (gi_tail >= L)
+        la_init = jnp.max(
+            jnp.where(above_tail, gi_tail, jnp.int32(-1)), axis=-1
+        )
+        gate_init = jnp.stack(
+            [la_init, (la_init >= 0).astype(jnp.int32)], axis=-1
+        )
+        hist_init = halo
+        if not channel_leading:
+            bsz = hist_init.shape[0]
+            hist_init = hist_init.reshape(bsz, -1, W).transpose(1, 0, 2)
+
+        table, P_pk, M_pk = aa_detect_fused_pallas(
+            blk,
             half_len=L,
+            threshold=threshold,
+            hysteresis=hysteresis,
+            max_events=max_events,
+            tie=tie,
+            emit_unclosed=True,  # boundary gates must surface for merging
             block=kernel_block,
             batch_tile=batch_tile,
             channel_leading=channel_leading,
             interpret=interpret,
+            base_index=shard_start,
+            stream_len_global=n,
+            shard_init=(hist_init, gate_init),
         )
-        P_re = P_re[..., history:]
-        P_im = P_im[..., history:]
-        R = R[..., history:]
-
-        sidx = jax.lax.axis_index("seq")
-        gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
-        gi_b = jnp.broadcast_to(gi, P_re.shape)
-        valid = gi_b >= L
-        p_sq = P_re * P_re + P_im * P_im
-        noise_floor = jnp.float32(1e-6 * L)
-        eps = jnp.float32(1e-12)
-        M = jnp.where(
-            valid & (R > noise_floor),
-            jnp.minimum(p_sq / jnp.maximum(R, eps) ** 2, 1.0),
-            0.0,
-        )
-        above = valid & (M >= jnp.float32(threshold))
-        # peak tracked on |P|^2, NOT on M (reference sync_aa.py:522-529)
-        return _cross_shard_event_merge(
-            above, p_sq, gi_b, h=h, E=max_events, n=n,
-            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
-            extras=(P_re, P_im, M),
+        return _merge_shard_event_tables(
+            table, axis_name="seq", h=h, E=max_events, tie_last=tie_last,
+            emit_unclosed=emit_unclosed,
+            extras=(P_pk[..., 0, :], P_pk[..., 1, :], M_pk),
         )
 
     spec_in = (
