@@ -33,21 +33,7 @@ _LANE = common.LANE
 
 
 def _zc_kernel(
-    x_ref,
-    valid_ref,
-    closed_ref,
-    start_ref,
-    close_ref,
-    pidx_ref,
-    pval_ref,
-    meta_ref,
-    hist_ref,
-    gate_ref,
-    tstart_ref,
-    tlast_ref,
-    tpidx_ref,
-    tpval_ref,
-    *,
+    *refs,
     W: int,
     H: int,
     B: int,
@@ -61,17 +47,56 @@ def _zc_kernel(
     batch: int,
     tie_last: bool,
     emit_unclosed: bool,
+    L_global: int | None = None,
+    with_base: bool = False,
+    with_init: bool = False,
 ):
+    """CFAR threshold + gate/peak FSM.  Shard mode mirrors
+    pallas_minn._detect_kernel: `with_base` prepends an SMEM scalar ref
+    (global base index), `with_init` adds (hist_init, gate_init) refs that
+    prime the magnitude history and gate FSM at grid step 0."""
+    i = 0
+    if with_base:
+        base = refs[i][0]
+        i += 1
+    else:
+        base = None
+    x_ref = refs[i]
+    i += 1
+    if with_init:
+        hist_init_ref, gate_init_ref = refs[i : i + 2]
+        i += 2
+    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+     meta_ref, hist_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref,
+     tpval_ref) = refs[i:]
     it = pl.program_id(1)
     ib = pl.program_id(0)
+    Lg = L_true if L_global is None else L_global
 
     @pl.when(it == 0)
     def _():
-        hist_ref[...] = jnp.zeros_like(hist_ref)
         common.event_scratch_init(
             gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
             tie_last=tie_last,
         )
+        if with_init:
+            hist_ref[...] = hist_init_ref[...]
+            gl = jax.lax.broadcasted_iota(jnp.int32, gate_ref.shape, 1)
+            gate_ref[...] = jnp.where(
+                gl == 0,
+                jnp.broadcast_to(
+                    gate_init_ref[...][..., 0:1], gate_ref.shape
+                ),
+                jnp.where(
+                    gl == 1,
+                    jnp.broadcast_to(
+                        gate_init_ref[...][..., 1:2], gate_ref.shape
+                    ),
+                    gate_ref[...],
+                ),
+            )
+        else:
+            hist_ref[...] = jnp.zeros_like(hist_ref)
 
     x = x_ref[...]  # (NB, B) corr magnitude
     ext = jnp.concatenate([hist_ref[...], x], axis=-1)  # (NB, H+B)
@@ -79,8 +104,9 @@ def _zc_kernel(
 
     # guarded (wrap-roll) ladder: garbage < W - 1 <= H, sliced off here
     local_sum = common.window_sum_guarded(ext, W, guard=H)[..., H:]  # (NB, B)
-    gi = it * B + jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    valid = gi >= W
+    gi_local = it * B + jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    gi = gi_local if base is None else gi_local + base
+    valid = gi >= W  # global warm-up: primed interior shards are live
     above = (
         valid
         & (x * jnp.float32(1 << threshold_frac_bits)
@@ -88,21 +114,28 @@ def _zc_kernel(
         & (x >= jnp.float32(min_corr_mag))
     )
     row = ib * NB + jax.lax.broadcasted_iota(jnp.int32, above.shape, 0)
-    above = above & (gi < L_true) & (row < batch)
+    above = above & (gi_local < L_true) & (row < batch)
+    if base is not None:
+        above = above & (gi < Lg)
 
+    block_start = it * B if base is None else base + it * B
     common.event_update(
         above, x, gi, it,
         B=B, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=L_true,
+        tie_last=tie_last, L_true=Lg,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
+        block_start=block_start,
     )
-    common.event_finalize(
-        valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
-        meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
-        hysteresis=hysteresis, max_events=max_events, L_true=L_true,
-        emit_unclosed=emit_unclosed,
-    )
+
+    @pl.when(it == pl.num_programs(1) - 1)
+    def _():
+        common.event_finalize(
+            valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+            meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
+            hysteresis=hysteresis, max_events=max_events, L_true=Lg,
+            emit_unclosed=emit_unclosed,
+        )
 
 
 def _zc_iq_kernel(
@@ -358,6 +391,7 @@ def zc_iq_cfar_detect_pallas(
         "block",
         "batch_tile",
         "interpret",
+        "stream_len_global",
     ),
 )
 def zc_cfar_detect_pallas(
@@ -374,6 +408,9 @@ def zc_cfar_detect_pallas(
     block: int = 4096,
     batch_tile: int = 8,
     interpret: bool | None = None,
+    base_index: jax.Array | None = None,
+    stream_len_global: int | None = None,
+    shard_init: tuple | None = None,
 ):
     """CFAR threshold + gate/peak events over matched-filter magnitudes.
 
@@ -383,6 +420,11 @@ def zc_cfar_detect_pallas(
     `threshold_value=None` derives the reference's 4x-local-mean threshold
     from `corr_window` (the fixed-point value scales with 1/W because the
     compare is against the local SUM, not the mean).
+
+    Shard mode (used by `parallel.shard.sharded_zc_cfar_detect`):
+    `base_index` / `stream_len_global` / `shard_init` = (hist_init
+    (batch, <=H) trailing magnitudes, gate_init (batch, 2)) -- same
+    priming contract as the Minn/AA fused kernels.
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 
@@ -411,6 +453,8 @@ def zc_cfar_detect_pallas(
         xp = jnp.zeros((Np, Lp), jnp.float32)
         x = xp.at[:batch, :L_sig].set(x)
 
+    with_base = base_index is not None
+    with_init = shard_init is not None
     kernel = functools.partial(
         _zc_kernel,
         W=W,
@@ -426,6 +470,9 @@ def zc_cfar_detect_pallas(
         batch=batch,
         tie_last=(tie == "last"),
         emit_unclosed=emit_unclosed,
+        L_global=stream_len_global,
+        with_base=with_base,
+        with_init=with_init,
     )
     i32 = jnp.int32
     out_shape = [
@@ -438,10 +485,30 @@ def zc_cfar_detect_pallas(
         jax.ShapeDtypeStruct((Np, _LANE), i32),
     ]
     ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
+    in_specs = [pl.BlockSpec((NB, B), lambda ib, it: (ib, it))]
+    operands = [x]
+    if with_init:
+        hist_init, gate_init = shard_init
+        hlen = min(hist_init.shape[-1], H)
+        hpad = jnp.zeros((Np, H), jnp.float32)
+        hpad = hpad.at[:batch, H - hlen :].set(
+            hist_init.astype(jnp.float32)[..., -hlen:]
+        )
+        gpad = jnp.full((Np, _LANE), -1, jnp.int32)
+        gpad = gpad.at[:, 1].set(0)
+        gpad = gpad.at[:batch, :2].set(gate_init.astype(jnp.int32))
+        in_specs += [
+            pl.BlockSpec((NB, H), lambda ib, it: (ib, 0)),
+            pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0)),
+        ]
+        operands += [hpad, gpad]
+    if with_base:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(0, jnp.asarray(base_index, jnp.int32).reshape(1))
     outs = pl.pallas_call(
         kernel,
         grid=(Np // NB, Lp // B),
-        in_specs=[pl.BlockSpec((NB, B), lambda ib, it: (ib, it))],
+        in_specs=in_specs,
         out_specs=[ev_spec] * 7,
         out_shape=out_shape,
         scratch_shapes=[
@@ -456,7 +523,7 @@ def zc_cfar_detect_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x)
+    )(*operands)
     valid, closed, gate_start, gate_close, peak_idx, peak_val, meta = [
         o[:batch] for o in outs
     ]

@@ -1102,17 +1102,20 @@ def sharded_zc_cfar_detect(
     max_events: int = 16,
     tie: str = "first",
     emit_unclosed: bool = True,
+    kernel_block: int = 16384,
 ):
     """Sharded ZC CFAR detection over matched-filter magnitudes.
 
     corr_mag: (batch, L) float32, batch over 'data', L over 'seq'.  The CFAR
     test (reference zc_v2.py:119-158, 288-336) thresholds each magnitude
-    against its trailing W-window running average; per shard that is a
-    cumsum difference over a W-halo, then the collective event merge.
-    Returns GateEvents equal to `kernels.pallas_zc.zc_cfar_detect_pallas`
-    on the unsharded stream (tests assert equality up to float association
-    of the window sum).
+    against its trailing W-window running average; each shard runs the FULL
+    fused CFAR/event kernel primed from a (W + h)-sample magnitude halo
+    (same design as `sharded_minn_rtl_detect_fused`), then the per-shard
+    tables merge at table level.  Returns GateEvents equal to
+    `kernels.pallas_zc.zc_cfar_detect_pallas` on the unsharded stream
+    (tests assert equality up to float association of the window sum).
     """
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
     from ofdm_sync_tpu.ops.detect import GateEvents
 
     W = corr_window
@@ -1126,33 +1129,65 @@ def sharded_zc_cfar_detect(
     if n % n_seq or corr_mag.shape[0] % n_data:
         raise ValueError("batch/stream dims not divisible by mesh axes")
     block = n // n_seq
-    if block < W:
-        raise ValueError(
-            f"seq shard of {block} samples is shorter than the W={W} halo; "
-            "use fewer seq shards"
-        )
     h = max(int(hysteresis), 1)
+    tie_last = tie == "last"
+    Wh = -(-W // 128) * 128 + h  # window reach (kernel hist width) + tail
+    if block < Wh:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the W+h={Wh} "
+            "halo; use fewer seq shards"
+        )
 
     def shard_fn(blk):
-        # blk: (B_loc, block)
-        ext = halo_exchange(blk, W, 0, "seq")
-        cs = jnp.cumsum(ext, axis=-1)
-        local_sum = (cs - jnp.concatenate(
-            [jnp.zeros_like(cs[..., :W]), cs[..., :-W]], axis=-1
-        ))[..., W:]
+        # blk: (B_loc, block) magnitudes
         sidx = jax.lax.axis_index("seq")
-        gi = sidx * block + jnp.arange(block, dtype=jnp.int32)
-        gi_b = jnp.broadcast_to(gi, blk.shape)
-        valid = gi_b >= W
-        above = (
-            valid
-            & (blk * jnp.float32(1 << threshold_frac_bits)
-               >= local_sum * jnp.float32(threshold_value))
-            & (blk >= jnp.float32(min_corr_mag))
+        tail = blk[..., -Wh:]
+        from_left = jax.lax.ppermute(
+            tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
         )
-        return _cross_shard_event_merge(
-            above, blk, gi_b, h=h, E=max_events, n=n,
-            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
+        if halo.dtype != jnp.float32:
+            halo = halo.astype(jnp.float32)
+
+        # gate priming from the halo's final h samples (positions >= W-1
+        # of the halo have full window support)
+        cs = jnp.cumsum(halo, axis=-1)
+        local_sum = cs - jnp.concatenate(
+            [jnp.zeros_like(cs[..., :W]), cs[..., :-W]], axis=-1
+        )
+        shard_start = sidx * block
+        gi_tail = shard_start - h + jnp.arange(h, dtype=jnp.int32)
+        above_tail = (
+            (halo[..., -h:] * jnp.float32(1 << threshold_frac_bits)
+             >= local_sum[..., -h:] * jnp.float32(threshold_value))
+            & (halo[..., -h:] >= jnp.float32(min_corr_mag))
+            & (gi_tail >= W)
+        )
+        la_init = jnp.max(
+            jnp.where(above_tail, gi_tail, jnp.int32(-1)), axis=-1
+        )
+        gate_init = jnp.stack(
+            [la_init, (la_init >= 0).astype(jnp.int32)], axis=-1
+        )
+
+        table = zc_cfar_detect_pallas(
+            blk,
+            corr_window=W,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+            min_corr_mag=min_corr_mag,
+            hysteresis=hysteresis,
+            max_events=max_events,
+            tie=tie,
+            emit_unclosed=True,  # boundary gates must surface for merging
+            block=kernel_block,
+            base_index=shard_start,
+            stream_len_global=n,
+            shard_init=(halo, gate_init),
+        )
+        return _merge_shard_event_tables(
+            table, axis_name="seq", h=h, E=max_events, tie_last=tie_last,
+            emit_unclosed=emit_unclosed,
         )
 
     rep = P("data")
