@@ -172,13 +172,15 @@ def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096) -> float:
 
 
 def _tm_subprocess(batch: int, stream_len: int, iters: int,
-                   timeout_s: int = 420):
+                   timeout_s: int = 560):
     """Run the TM headline in a watchdog subprocess.
 
     The axon tunnel's remote Mosaic compile occasionally takes minutes for
     the time-major kernel (observed 20-400 s); a blocked XLA compile cannot
     be interrupted in-process, so the watchdog guarantees the bench always
     produces a number (falling back to the lane-major kernel on timeout).
+    The budget comfortably covers worst-case compile plus the timed
+    iterations (~60 s), so slow-compile days still report the flagship.
     """
     import subprocess
 

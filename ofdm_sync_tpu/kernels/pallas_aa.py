@@ -309,11 +309,15 @@ def _aa_kernel(
         above = above & (gi < Lg)
 
     block_start = it * B if base is None else base + it * B
+    # peak tracking stops at the LOCAL stream end in shard mode (padding
+    # samples carry partial-window garbage |P|^2)
+    track_end = Lg if base is None else jnp.minimum(jnp.int32(Lg),
+                                                    base + L_true)
     # peak is tracked on |P|^2, NOT on M (reference sync_aa.py:522-529)
     common.event_update(
         above, p_sq, gi, it,
         B=B, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=Lg,
+        tie_last=tie_last, L_true=track_end,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
         extras=(P_re, P_im, M), extra_refs=(spre_ref, spim_ref, sm_ref),

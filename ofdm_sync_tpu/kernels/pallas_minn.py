@@ -516,10 +516,15 @@ def _detect_kernel(
         above = above & (gi < Lg)
 
     block_start = it * B if base is None else base + it * B
+    # peak tracking must stop at this shard's LOCAL stream end (padding
+    # samples carry partial-window garbage); close/validity semantics keep
+    # the global length in event_finalize
+    track_end = Lg if base is None else jnp.minimum(jnp.int32(Lg),
+                                                    base + L_true)
     common.event_update(
         above, corr_pos, gi, it,
         B=B, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=Lg,
+        tie_last=tie_last, L_true=track_end,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
         block_start=block_start,

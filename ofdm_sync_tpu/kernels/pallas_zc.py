@@ -119,10 +119,14 @@ def _zc_kernel(
         above = above & (gi < Lg)
 
     block_start = it * B if base is None else base + it * B
+    # peak tracking stops at the LOCAL stream end in shard mode (padding
+    # samples are zeros; bounded for uniformity with the other kernels)
+    track_end = Lg if base is None else jnp.minimum(jnp.int32(Lg),
+                                                    base + L_true)
     common.event_update(
         above, x, gi, it,
         B=B, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=Lg,
+        tie_last=tie_last, L_true=track_end,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
         block_start=block_start,

@@ -564,7 +564,8 @@ def zc_freq_metric_sliding(
     trig arguments small), and the energy term needs no un-rotation at
     all (|X| = |S|).  Matches `zc_freq_metric` up to f32 accumulation
     (the window sums are cumsum-based; tests assert tolerance + peak
-    equality).  ~1000x the chunked-FFT form's throughput on the TPU.
+    equality).  Measured ~94x the chunked-FFT form's throughput on the
+    v5e (9.4 M vs 0.1 M offsets/s at 2048-pt symbols, 62 bins).
     """
     x = _as2d(rx)
     L = x.shape[-1]
@@ -582,16 +583,20 @@ def zc_freq_metric_sliding(
     o_idx = jnp.arange(num_offsets, dtype=jnp.int32) + cp_len
     two_pi_over_n = jnp.float32(2.0 * np.pi / n_fft)
 
+    # reduce indices mod N BEFORE the multiply so k*(n mod N) < N^2 < 2^31
+    # stays exact in int32 for ANY stream length (k*n itself would wrap
+    # past ~1M samples)
+    n_mod = n_idx % n_fft
+    o_mod = o_idx % n_fft
+
     def per_bin(carry, kt):
         corr, energy = carry
         k, T = kt
-        # exact integer phase reduction: (k*n) mod N keeps the trig
-        # argument < 2*pi (k*n < N^2 < 2^31, exact in int32)
-        ph_arg = two_pi_over_n * ((k * n_idx) % n_fft).astype(jnp.float32)
+        ph_arg = two_pi_over_n * ((k * n_mod) % n_fft).astype(jnp.float32)
         ph = jnp.exp(-1j * ph_arg)                              # w_k^n
         S = sliding_sum_valid(x * ph, n_fft)                    # (B, L-N+1)
         Sb = S[:, cp_len : cp_len + num_offsets]
-        un_arg = two_pi_over_n * ((k * o_idx) % n_fft).astype(jnp.float32)
+        un_arg = two_pi_over_n * ((k * o_mod) % n_fft).astype(jnp.float32)
         unrot = jnp.exp(1j * un_arg)                            # w_k^-(o+cp)
         corr = corr + jnp.conj(T) * unrot * jnp.sum(Sb, axis=0)
         energy = energy + jnp.sum(Sb.real**2 + Sb.imag**2, axis=0)

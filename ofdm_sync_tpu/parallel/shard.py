@@ -112,6 +112,41 @@ def blocked_linear_recurrence(a: jax.Array, b: jax.Array, axis_name: str) -> jax
 
 
 # ---------------------------------------------------------------------------
+# Shared shard-priming helpers (the fused per-shard detection paths)
+# ---------------------------------------------------------------------------
+
+def _shard_left_halo(blk, W: int, n_seq: int, axis_name: str = "seq"):
+    """One ppermute of the trailing W samples to the right neighbor (zeros
+    at shard 0), converted to f32 for the XLA priming passes (int16
+    products would overflow).
+
+    NOTE (float association): the priming passes recompute threshold bits
+    with XLA-associated sums (cumsum / running sums) rather than the
+    kernels' pairwise ladders, so a metric sitting within an ulp of the
+    threshold in the final h halo samples could prime a gate state that
+    disagrees with the neighbor shard's emitted table.  This is the same
+    association caveat as every sharded==unsharded guarantee in this
+    module; tests use clear-margin thresholds.
+    """
+    sidx = jax.lax.axis_index(axis_name)
+    tail = blk[..., -W:]
+    from_left = jax.lax.ppermute(
+        tail, axis_name, [(i, i + 1) for i in range(n_seq - 1)]
+    )
+    halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
+    if halo.dtype != jnp.float32:
+        halo = halo.astype(jnp.float32)
+    return halo
+
+
+def _gate_init_from_tail(above_tail, gi_tail):
+    """(last-above global index, open-gate flag) from the halo's final-h
+    above-bits -- the gate-FSM priming contract of the fused kernels."""
+    la = jnp.max(jnp.where(above_tail, gi_tail, jnp.int32(-1)), axis=-1)
+    return jnp.stack([la, (la >= 0).astype(jnp.int32)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Sharded detector metrics
 # ---------------------------------------------------------------------------
 
@@ -725,17 +760,7 @@ def sharded_minn_rtl_detect_fused(
         # in-halo tap support, and the scan's 257-sample runway makes the
         # carry sub-ulp-exact).
         sidx = jax.lax.axis_index("seq")
-        tail = blk[..., -W:]
-        from_left = jax.lax.ppermute(
-            tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
-        )
-        halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
-        # int16 ADC input: the XLA halo-metric pass below would overflow in
-        # integer arithmetic (i*i + q*q wraps for int12 codes); the tiny
-        # halo is converted here, the main stream stays int16 into the
-        # kernel (converted in-VMEM)
-        if halo.dtype != jnp.float32:
-            halo = halo.astype(jnp.float32)
+        halo = _shard_left_halo(blk, W, n_seq)
 
         # halo metric in natural (batch, branches, 2, W) layout (tiny)
         if channel_leading:
@@ -752,12 +777,7 @@ def sharded_minn_rtl_detect_fused(
         shard_start = sidx * block
         gi_tail = shard_start - h + jnp.arange(h, dtype=jnp.int32)
         above_tail = st.above_threshold[..., -h:] & (gi_tail >= valid_from)
-        la_init = jnp.max(
-            jnp.where(above_tail, gi_tail, jnp.int32(-1)), axis=-1
-        )
-        gate_init = jnp.stack(
-            [la_init, (la_init >= 0).astype(jnp.int32)], axis=-1
-        )
+        gate_init = _gate_init_from_tail(above_tail, gi_tail)
         hist_init = halo  # wrapper right-trims to its hist width
         if not channel_leading:
             # kernel expects channel-leading (C, batch, W) init rows
@@ -1003,7 +1023,9 @@ def sharded_aa_detect_fused(
     # halo = window + lag reach (2L; the last H = round_up(2L, 128) samples
     # prime the kernel's history rows) + the h-sample gate tail, whose
     # above-bits need full 2L-1 tap support themselves
-    W = -(-2 * L // 128) * 128 + h
+    from ofdm_sync_tpu.kernels.pallas_common import LANE, round_up
+
+    W = round_up(2 * L, LANE) + h
     if block < W:
         raise ValueError(
             f"seq shard of {block} samples is shorter than the W={W} halo "
@@ -1015,13 +1037,7 @@ def sharded_aa_detect_fused(
         # blk: (B_loc, branches, 2, block), or (C, B_loc, block) when
         # channel-leading
         sidx = jax.lax.axis_index("seq")
-        tail = blk[..., -W:]
-        from_left = jax.lax.ppermute(
-            tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
-        )
-        halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
-        if halo.dtype != jnp.float32:
-            halo = halo.astype(jnp.float32)
+        halo = _shard_left_halo(blk, W, n_seq)
 
         # gate priming from the halo's final h samples (XLA metric pass on
         # the tiny halo; positions >= 2L-1 have full in-halo tap support)
@@ -1035,12 +1051,7 @@ def sharded_aa_detect_fused(
         gi_tail = shard_start - h + jnp.arange(h, dtype=jnp.int32)
         M_tail = st.M[..., -h:]
         above_tail = (M_tail >= jnp.float32(threshold)) & (gi_tail >= L)
-        la_init = jnp.max(
-            jnp.where(above_tail, gi_tail, jnp.int32(-1)), axis=-1
-        )
-        gate_init = jnp.stack(
-            [la_init, (la_init >= 0).astype(jnp.int32)], axis=-1
-        )
+        gate_init = _gate_init_from_tail(above_tail, gi_tail)
         hist_init = halo
         if not channel_leading:
             bsz = hist_init.shape[0]
@@ -1131,7 +1142,9 @@ def sharded_zc_cfar_detect(
     block = n // n_seq
     h = max(int(hysteresis), 1)
     tie_last = tie == "last"
-    Wh = -(-W // 128) * 128 + h  # window reach (kernel hist width) + tail
+    from ofdm_sync_tpu.kernels.pallas_common import LANE, round_up
+
+    Wh = round_up(W, LANE) + h  # window reach (kernel hist width) + tail
     if block < Wh:
         raise ValueError(
             f"seq shard of {block} samples is shorter than the W+h={Wh} "
@@ -1141,13 +1154,7 @@ def sharded_zc_cfar_detect(
     def shard_fn(blk):
         # blk: (B_loc, block) magnitudes
         sidx = jax.lax.axis_index("seq")
-        tail = blk[..., -Wh:]
-        from_left = jax.lax.ppermute(
-            tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
-        )
-        halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
-        if halo.dtype != jnp.float32:
-            halo = halo.astype(jnp.float32)
+        halo = _shard_left_halo(blk, Wh, n_seq)
 
         # gate priming from the halo's final h samples (positions >= W-1
         # of the halo have full window support)
@@ -1163,12 +1170,7 @@ def sharded_zc_cfar_detect(
             & (halo[..., -h:] >= jnp.float32(min_corr_mag))
             & (gi_tail >= W)
         )
-        la_init = jnp.max(
-            jnp.where(above_tail, gi_tail, jnp.int32(-1)), axis=-1
-        )
-        gate_init = jnp.stack(
-            [la_init, (la_init >= 0).astype(jnp.int32)], axis=-1
-        )
+        gate_init = _gate_init_from_tail(above_tail, gi_tail)
 
         table = zc_cfar_detect_pallas(
             blk,

@@ -256,3 +256,30 @@ def test_zc_freq_detector_sliding_form(rng):
         jnp.asarray(x, jnp.complex64)
     )
     assert a["detected_cp_start"] == b["detected_cp_start"]
+
+
+def test_zc_freq_sliding_long_stream_phase_exact(rng):
+    """Streams past ~1M samples: the integer phase reduction must not wrap
+    int32 (r2 review: k*n_idx overflowed for high template bins; indices
+    are now reduced mod N before the multiply)."""
+    n_fft, cp = 2048, 144
+    L = 1_200_000
+    x = (0.1 * (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+         ).astype(np.complex64)
+    bins = np.array([-1023, -500, 500, 1023])  # high |k| -> worst products
+    tmpl = (rng.standard_normal(4) + 1j * rng.standard_normal(4)
+            ).astype(np.complex64)
+    m = np.asarray(M.zc_freq_metric_sliding(
+        jnp.asarray(x), jnp.asarray(tmpl), bins, n_fft, cp
+    ))
+    # direct per-offset DFT checks at tail offsets (where the old k*n
+    # products exceeded 2^31)
+    positions = (n_fft // 2 + bins) % n_fft
+    e_t = float(np.sum(np.abs(tmpl) ** 2))
+    for off in (L - n_fft - cp - 1, L - n_fft - cp - 12345):
+        win = x[off + cp : off + cp + n_fft]
+        binv = np.fft.fftshift(np.fft.fft(win))[positions]
+        corr = np.sum(np.conj(tmpl) * binv)
+        want = abs(corr) ** 2 / max(e_t * np.sum(np.abs(binv) ** 2), 1e-12)
+        np.testing.assert_allclose(m[off], want, rtol=5e-2, atol=1e-7,
+                                   err_msg=str(off))
