@@ -416,3 +416,58 @@ def test_sharded_fused_priming_regimes(rng):
             err_msg=f,
         )
     assert int(np.asarray(t16.count).sum()) >= 2
+
+
+@pytest.mark.slow
+def test_sharded_fused_seam_fuzz(rng):
+    """Seeded fuzz of the table-level seam merge: random noise levels and
+    random preamble placements (including directly on seams), sharded ==
+    unsharded for every seed."""
+    from ofdm_sync_tpu.parallel.shard import sharded_minn_rtl_detect_fused
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    Q = 32
+    L = 1 << 13
+    Lb = L // 4
+    for seed in range(5):
+        r = np.random.default_rng(1000 + seed)
+        iq = np.zeros((2, 2, 2, L), np.float32)
+        for b in range(2):
+            sig = np.zeros(L, complex)
+            pre = build_minn_rtl_preamble(
+                "qpsk_freq", rng=np.random.default_rng(seed * 2 + b), Q=Q
+            )
+            n_ev = int(r.integers(1, 4))
+            for _ in range(n_ev):
+                if r.random() < 0.5:
+                    # straddle a random seam
+                    k = int(r.integers(1, 4))
+                    pos = k * Lb - int(r.integers(1, 5 * Q))
+                else:
+                    pos = int(r.integers(0, L - 5 * Q))
+                pos = max(0, min(L - 5 * Q - 1, pos))
+                sig[pos : pos + 5 * Q] = pre
+            noise = float(r.uniform(0.02, 0.2))
+            rx = np.stack([sig, 0.8 * sig]) + noise * (
+                r.standard_normal((2, L)) + 1j * r.standard_normal((2, L))
+            )
+            iq[b] = np.asarray(to_planar(jnp.asarray(rx)))
+        table = sharded_minn_rtl_detect_fused(
+            jnp.asarray(iq), mesh, **KW, kernel_block=1024,
+        )
+        for b in range(2):
+            _, ref = minn_rtl_detect_planar(jnp.asarray(iq[b]), **KW)
+            np.testing.assert_array_equal(
+                np.asarray(table.count)[b], np.asarray(ref.count),
+                err_msg=f"seed {seed} stream {b}",
+            )
+            k = int(ref.count)
+            for f in ("gate_start", "gate_close", "peak_idx", "valid",
+                      "closed"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(table, f))[b][:k],
+                    np.asarray(getattr(ref, f))[:k],
+                    err_msg=f"{f} seed {seed} stream {b}",
+                )
