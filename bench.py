@@ -168,7 +168,31 @@ def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096) -> float:
         state = step(state, xs)
         float(np.asarray(state.smooth))  # fetch-sync each chunk
         lats.append(time.perf_counter() - t0)
-    return sorted(lats)[len(lats) // 2] * 1e3
+    p50_ms = sorted(lats)[len(lats) // 2] * 1e3
+
+    # ON-CHIP per-chunk latency: chain the same carried-state steps in a
+    # lax.scan inside ONE dispatch, so the tunnel's dispatch+fetch round
+    # trip (the dominant cost of the per-chunk p50 above) is amortized out
+    import jax.numpy as jnp
+
+    K = 64
+    xk = jnp.broadcast_to(xs, (K,) + xs.shape)
+    scan_fn = jax.jit(
+        lambda s, cs: jax.lax.scan(
+            lambda st, c: (minn_rtl_stream_step(st, c, params=params), None),
+            s, cs,
+        )[0]
+    )
+    st = scan_fn(state, xk)
+    float(np.asarray(st.smooth))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = scan_fn(state, xk)
+        float(np.asarray(st.smooth))
+        best = min(best, time.perf_counter() - t0)
+    onchip_us = best / K * 1e6
+    return p50_ms, onchip_us
 
 
 def _tm_subprocess(batch: int, stream_len: int, iters: int,
@@ -200,6 +224,30 @@ def _tm_subprocess(batch: int, stream_len: int, iters: int,
             return float(sps), float(dt)
     raise RuntimeError(
         f"tm subprocess rc={proc.returncode}: {proc.stderr[-500:]}"
+    )
+
+
+def _latency_subprocess(timeout_s: int = 300):
+    """Measure block latency in a watchdog subprocess (the tunnel's remote
+    compile can stall for minutes; the headline JSON line must never wait
+    on the latency detail)."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, {root!r});"
+        "import bench; p50, oc = bench._block_latency_p50();"
+        "print('LAT_RESULT', p50, oc)"
+    ).format(root=str(__import__("pathlib").Path(__file__).parent))
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=timeout_s,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("LAT_RESULT"):
+            _, p50, oc = line.split()
+            return float(p50), float(oc)
+    raise RuntimeError(
+        f"latency subprocess rc={proc.returncode}: {proc.stderr[-300:]}"
     )
 
 
@@ -250,9 +298,11 @@ def main() -> None:
         )
     )
     try:
-        lat_ms = _block_latency_p50()
-        lat_note = (f"4096-pt block latency p50={lat_ms:.2f}ms "
-                    f"(carried-state stream step, fetch-synced per chunk)")
+        lat_ms, onchip_us = _latency_subprocess()
+        lat_note = (f"4096-pt block latency p50={lat_ms:.2f}ms through the "
+                    f"tunnel (fetch-synced per chunk; dispatch+fetch RTT "
+                    f"dominated), {onchip_us:.1f}us/chunk on-chip "
+                    f"(scan-chained carried-state steps)")
     except Exception as e:  # pragma: no cover
         lat_note = f"block latency skipped ({type(e).__name__}: {e})"
     print(
