@@ -58,14 +58,16 @@ from_time_tiled = tm.from_time_tiled
 
 
 def _tm_kernel(
-    x_ref,       # (1, C*R, LANES) input block
-    valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref, meta_ref,
-    hist_ref,    # (C*HR, LANES) carried IQ history rows
-    carry_ref,   # (8, LANES) f32: row 0 = smoothing carry
-    dvec_ref,    # (R, 1) f32: decay^(t+1) for the carry term
-    gate_ref,    # (8, LANES) i32: row 0 = last_above, row 1 = cluster count
-    tstart_ref, tlast_ref, tpidx_ref, tpval_ref,  # (SLOTR, LANES) slots
-    *,
+    *refs,
+    # ref order: [base (SMEM, shard mode)] x_ref [hist_init, carry_init,
+    # gate_init (shard-init mode)] then outputs + scratch:
+    #   x_ref      (1, C*R, LANES) input block
+    #   valid/closed/start/close/pidx/pval/meta: event-table outputs
+    #   hist_ref   (C*HR, LANES) carried IQ history rows
+    #   carry_ref  (8, LANES) f32: row 0 = smoothing carry
+    #   dvec_ref   (R, 1) f32: decay^(t+1) for the carry term
+    #   gate_ref   (8, LANES) i32: row 0 = last_above, row 1 = cluster count
+    #   tstart/tlast/tpidx/tpval (SLOTR, LANES) slots
     C: int,
     R: int,
     HR: int,
@@ -80,14 +82,30 @@ def _tm_kernel(
     batch_last: int,
     tie_last: bool,
     emit_unclosed: bool,
+    L_global: int | None = None,
+    with_base: bool = False,
+    with_init: bool = False,
 ):
+    i = 0
+    if with_base:
+        base = refs[i][0]
+        i += 1
+    else:
+        base = None
+    x_ref = refs[i]
+    i += 1
+    if with_init:
+        hist_init_ref, carry_init_ref, gate_init_ref = refs[i : i + 3]
+        i += 3
+    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+     meta_ref, hist_ref, carry_ref, dvec_ref, gate_ref, tstart_ref,
+     tlast_ref, tpidx_ref, tpval_ref) = refs[i:]
     it = pl.program_id(1)
     decay = 1.0 - alpha
+    Lg = L_true if L_global is None else L_global
 
     @pl.when(it == 0)
     def _():
-        hist_ref[...] = jnp.zeros_like(hist_ref)
-        carry_ref[...] = jnp.zeros_like(carry_ref)
         # decay^(t+1) by repeated squaring (matches the lane kernel's
         # _init_decay product exactly)
         d = jnp.full((R, 1), jnp.float32(decay))
@@ -102,6 +120,16 @@ def _tm_kernel(
             gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
             tie_last=tie_last,
         )
+        if with_init:
+            # shard-init mode: prime the streaming scratch from the
+            # neighbor shard's halo (same contract as pallas_minn's
+            # shard_init -- see minn_rtl_detect_fused_tm docstring)
+            hist_ref[...] = hist_init_ref[0]
+            carry_ref[...] = carry_init_ref[0]
+            gate_ref[...] = gate_init_ref[0]
+        else:
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+            carry_ref[...] = jnp.zeros_like(carry_ref)
 
     x = x_ref[0]  # (C*R, LANES)
     if x.dtype != jnp.float32:
@@ -143,7 +171,8 @@ def _tm_kernel(
         corr_pos = jnp.maximum(tm.window_sum_rows(u, 2 * Q)[HR:], 0.0)
         energy_out = tm.window_sum_rows(p, 3 * Q)[HR:]
 
-    gi_col = it * R + _row_iota(R)  # (R, 1) global sample index
+    gi_local = it * R + _row_iota(R)  # (R, 1) local sample index
+    gi_col = gi_local if base is None else gi_local + base  # global index
     validc = gi_col >= valid_from   # column mask, broadcasts over lanes
 
     # --- constant-decay smoothing scan down rows -----------------------
@@ -172,7 +201,9 @@ def _tm_kernel(
 
     scaled = smooth * jnp.float32(1 << threshold_frac_bits)
     above = validc & (scaled >= energy_out * jnp.float32(threshold_value))
-    above = above & (gi_col < L_true)
+    above = above & (gi_local < L_true)
+    if base is not None:
+        above = above & (gi_col < Lg)
     if batch_last < LANES:
         # zero-padded streams in the last group trivially sit above
         # threshold (0 >= 0); mask them so they neither emit events nor
@@ -183,10 +214,17 @@ def _tm_kernel(
             | (lane < batch_last)
         )
 
+    # peak tracking must stop at this shard's LOCAL stream end (padding
+    # rows carry partial-window garbage); close/validity semantics keep the
+    # global length in event_finalize (mirrors pallas_minn._detect_kernel)
+    block_start = it * R if base is None else base + it * R
+    track_end = Lg if base is None else jnp.minimum(
+        jnp.int32(Lg), base + L_true
+    )
     tm.event_update(
-        above, corr_pos, gi_col, it * R,
+        above, corr_pos, gi_col, block_start,
         R=R, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=L_true,
+        tie_last=tie_last, L_true=track_end,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
     )
@@ -196,7 +234,7 @@ def _tm_kernel(
         tm.event_finalize(
             valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
             meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
-            hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+            hysteresis=hysteresis, max_events=max_events, L_true=Lg,
             emit_unclosed=emit_unclosed,
         )
 
@@ -207,6 +245,7 @@ def _tm_kernel(
         "quarter_len", "smooth_shift", "threshold_value",
         "threshold_frac_bits", "hysteresis", "max_events", "tie",
         "emit_unclosed", "rows", "stream_len", "batch", "interpret",
+        "stream_len_global",
     ),
 )
 def minn_rtl_detect_fused_tm(
@@ -224,6 +263,9 @@ def minn_rtl_detect_fused_tm(
     emit_unclosed: bool = False,
     rows: int = 8192,
     interpret: bool | None = None,
+    base_index: jax.Array | None = None,
+    stream_len_global: int | None = None,
+    shard_init: tuple | None = None,
 ):
     """Fully-fused time-major Minn-RTL detection on a tiled stream buffer.
 
@@ -232,6 +274,16 @@ def minn_rtl_detect_fused_tm(
     true per-stream length L (padding rows are masked), `batch` the true
     stream count.  Returns `GateEvents` with (batch, max_events) tables --
     the same semantics as `pallas_minn.minn_rtl_detect_fused_pallas`.
+
+    Shard mode: identical contract to the lane-major kernel's
+    (`pallas_minn.minn_rtl_detect_fused_pallas`), so the sharded wrapper
+    primes both the same way.  `base_index` (dynamic int32 scalar) is the
+    global stream position of this shard's first sample;
+    `stream_len_global` the global length for close/validity semantics;
+    `shard_init` = (hist_init (C, batch, Wh) right-aligned IQ history,
+    carry_init (batch,) smoothing carry, gate_init (batch, 2)
+    [last-above global index, open-gate flag]) primes the streaming
+    scratch at grid step 0.  Emitted indices are then global.
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 
@@ -253,6 +305,8 @@ def minn_rtl_detect_fused_tm(
     SLOTR = _round_up(max_events, 8)
     if max_events > LANES:
         raise ValueError(f"max_events must be <= {LANES}")
+    with_base = base_index is not None
+    with_init = shard_init is not None
 
     kernel = functools.partial(
         _tm_kernel,
@@ -262,6 +316,8 @@ def minn_rtl_detect_fused_tm(
         hysteresis=hysteresis, max_events=max_events, L_true=stream_len,
         batch_last=batch - (G - 1) * LANES,
         tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        L_global=stream_len_global,
+        with_base=with_base, with_init=with_init,
     )
     i32 = jnp.int32
     ev = lambda dt: jax.ShapeDtypeStruct((G, SLOTR, LANES), dt)  # noqa: E731
@@ -270,12 +326,49 @@ def minn_rtl_detect_fused_tm(
         ev(jnp.float32), ev(i32),
     ]
     ev_spec = pl.BlockSpec((1, SLOTR, LANES), lambda g, t: (g, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, CR, LANES), lambda g, t, NT=NT: (g * NT + t, 0, 0))
+    ]
+    operands = [x_tiled]
+    if with_init:
+        # convert the lane-kernel-shaped init arrays to per-group tiled
+        # rows; padded lanes get neutral state (la=-1, no open gate) so
+        # they never wake the event machinery
+        hist_init, carry_init, gate_init = shard_init
+        GB = G * LANES
+        hf = hist_init.astype(jnp.float32)
+        hl = min(hf.shape[-1], HR)
+        hp = jnp.zeros((C, GB, HR), jnp.float32)
+        hp = hp.at[:, :batch, HR - hl :].set(hf[..., -hl:])
+        hp = hp.reshape(C, G, LANES, HR).transpose(1, 0, 3, 2)
+        hp = hp.reshape(G, C * HR, LANES)
+        cflat = jnp.zeros((GB,), jnp.float32).at[:batch].set(
+            carry_init.astype(jnp.float32)
+        )
+        cpad = jnp.zeros((G, 8, LANES), jnp.float32).at[:, 0].set(
+            cflat.reshape(G, LANES)
+        )
+        gla = jnp.full((GB,), -1, i32).at[:batch].set(
+            gate_init[:, 0].astype(i32)
+        )
+        gfl = jnp.zeros((GB,), i32).at[:batch].set(
+            gate_init[:, 1].astype(i32)
+        )
+        gpad = jnp.full((G, 8, LANES), -1, i32)
+        gpad = gpad.at[:, 0].set(gla.reshape(G, LANES))
+        gpad = gpad.at[:, 1].set(gfl.reshape(G, LANES))
+        gspec = lambda rows_: pl.BlockSpec(  # noqa: E731
+            (1, rows_, LANES), lambda g, t: (g, 0, 0)
+        )
+        in_specs += [gspec(C * HR), gspec(8), gspec(8)]
+        operands += [hp, cpad, gpad]
+    if with_base:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(0, jnp.asarray(base_index, i32).reshape(1))
     outs = pl.pallas_call(
         kernel,
         grid=(G, NT),
-        in_specs=[
-            pl.BlockSpec((1, CR, LANES), lambda g, t, NT=NT: (g * NT + t, 0, 0))
-        ],
+        in_specs=in_specs,
         out_specs=[ev_spec] * 7,
         out_shape=out_shape,
         scratch_shapes=[
@@ -292,7 +385,7 @@ def minn_rtl_detect_fused_tm(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x_tiled)
+    )(*operands)
     valid, closed, start, close, pidx, pval, meta = tm.unpack_event_outputs(
         outs, G, SLOTR, batch
     )

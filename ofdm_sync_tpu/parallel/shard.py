@@ -146,6 +146,22 @@ def _gate_init_from_tail(above_tail, gi_tail):
     return jnp.stack([la, (la >= 0).astype(jnp.int32)], axis=-1)
 
 
+def _minn_halo_width(Q: int, smooth_shift: int, h: int) -> int:
+    """Left-halo width (samples) that makes per-shard Minn-RTL priming
+    exact: 3Q delay-line reach + the truncated constant-decay scan's memory
+    (sum of the doubling steps `pallas_common.const_decay_scan` executes
+    before decay**step <= 2^-45; sub-ulp beyond that) + the h-sample tail
+    whose above-bits prime the gate FSM."""
+    alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
+    decay = 1.0 - alpha
+    scan_mem = 0
+    step = 1
+    while np.float32(decay**step) > 2.0**-45:
+        scan_mem += step
+        step *= 2
+    return 3 * Q + scan_mem + 1 + h
+
+
 # ---------------------------------------------------------------------------
 # Sharded detector metrics
 # ---------------------------------------------------------------------------
@@ -727,25 +743,13 @@ def sharded_minn_rtl_detect_fused(
 
     from ofdm_sync_tpu.kernels.streaming import minn_rtl_metric_planar
 
-    alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
-    decay = 1.0 - alpha
     valid_from = max(0, 3 * Q - 1)
-    # the truncated in-kernel scan's memory: sum of the doubling steps it
-    # executes (pallas_common.const_decay_scan skips decay**step <= 2^-45)
-    scan_mem = 0
-    step = 1
-    while np.float32(decay**step) > 2.0**-45:
-        scan_mem += step
-        step *= 2
-    # halo = delay-line reach (3Q) + scan runway + the h-sample tail whose
-    # above-bits prime the gate FSM (those bits themselves need the full
-    # runway before them)
-    W = history + scan_mem + 1 + h
+    W = _minn_halo_width(Q, smooth_shift, h)
     if block < W:
         raise ValueError(
             f"seq shard of {block} samples is shorter than the W={W} halo "
-            f"(3Q delay-line reach + {scan_mem + 1}-sample smoothing "
-            f"runway at smooth_shift={smooth_shift} + hysteresis={h}); "
+            f"(3Q delay-line reach + smoothing runway at "
+            f"smooth_shift={smooth_shift} + hysteresis={h}); "
             "use fewer seq shards"
         )
 
@@ -826,6 +830,146 @@ def sharded_minn_rtl_detect_fused(
     )
 
 
+def sharded_minn_rtl_detect_fused_tm(
+    x_tiled: jax.Array,
+    mesh: Mesh,
+    *,
+    quarter_len: int,
+    smooth_shift: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+    hysteresis: int,
+    stream_len: int,
+    channels: int = 4,
+    rows: int = 8192,
+    batch: int | None = None,
+    max_events: int = 8,
+    tie: str = "last",
+    emit_unclosed: bool = False,
+    interpret: bool | None = None,
+):
+    """Multi-chip Minn-RTL detection on the FLAGSHIP time-major kernel
+    (`pallas_minn_tm.minn_rtl_detect_fused_tm`, the headline-rate kernel):
+    per seq shard, one left-halo ppermute primes the full fused TM kernel's
+    streaming scratch, and the per-shard global event tables are stitched
+    with the single-all_gather table merge.
+
+    x_tiled: the tiled stream buffer reshaped to (G, NT, C*rows, 128) --
+    i.e. `to_time_tiled(x, rows)[0].reshape(G, NT, C*rows, 128)` -- float32
+    or int16 (int16 halos ride the ppermute at half the bytes and are
+    bit-identical; the kernel converts in VMEM).  Groups of 128 streams
+    shard over 'data', time blocks over 'seq' (NT % n_seq == 0,
+    G % n_data == 0); `stream_len` is the true per-stream length (padding
+    rows allowed only in the final seq shard).  Returns GateEvents with
+    (G*128, max_events) tables (sliced to `batch` when given), batch over
+    'data', replicated over 'seq' -- equal to the unsharded TM kernel.
+
+    Priming and merge semantics are identical to
+    `sharded_minn_rtl_detect_fused` (same W halo math, same XLA halo
+    metric pass, same `_merge_shard_event_tables`); only the kernel and
+    the halo's row-layout slicing differ.  Reference parity:
+    ref/minn_preamble_detector.sv:247-384 (semantics unchanged).
+    """
+    from ofdm_sync_tpu.kernels.pallas_minn_tm import (
+        LANES, minn_rtl_detect_fused_tm,
+    )
+    from ofdm_sync_tpu.kernels.streaming import minn_rtl_metric_planar
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    Q = quarter_len
+    C = channels
+    R = rows
+    G, NT, CR, lanes = x_tiled.shape
+    if CR != C * R or lanes != LANES:
+        raise ValueError(
+            f"x_tiled must be (G, NT, {C}*{R}, {LANES}); got {x_tiled.shape}"
+        )
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if NT % n_seq or G % n_data:
+        raise ValueError("G/NT not divisible by mesh (data, seq) axes")
+    NT_loc = NT // n_seq
+    block = NT_loc * R
+    h = max(int(hysteresis), 1)
+    valid_from = max(0, 3 * Q - 1)
+    W = _minn_halo_width(Q, smooth_shift, h)
+    if block < W:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the W={W} halo; "
+            "use fewer seq shards or more rows"
+        )
+    if W > R:
+        raise ValueError(
+            f"halo W={W} must fit in one {R}-row block tail; raise rows"
+        )
+    L = stream_len
+    if L <= (n_seq - 1) * block:
+        raise ValueError("stream_len leaves a seq shard with no true samples")
+
+    def shard_fn(blk):
+        # blk: (G_loc, NT_loc, C*R, LANES).  Halo = last W time rows per
+        # channel plane of the final local block, one ppermute to the right
+        # neighbor (int16 stays int16 on the wire; converted after).
+        G_loc = blk.shape[0]
+        B_loc = G_loc * LANES
+        sidx = jax.lax.axis_index("seq")
+        tail = blk[:, -1].reshape(G_loc, C, R, LANES)[:, :, R - W :]
+        from_left = jax.lax.ppermute(
+            tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
+        )
+        halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
+        halo = halo.astype(jnp.float32)  # (G_loc, C, W, LANES)
+
+        # prime: tiny XLA metric pass over the halo in natural layout
+        hb = halo.transpose(0, 3, 1, 2).reshape(B_loc, C // 2, 2, W)
+        st = minn_rtl_metric_planar(
+            hb, quarter_len=Q, smooth_shift=smooth_shift,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+        )
+        carry_init = st.smooth_metric[..., -1]
+        shard_start = sidx * block
+        gi_tail = shard_start - h + jnp.arange(h, dtype=jnp.int32)
+        above_tail = st.above_threshold[..., -h:] & (gi_tail >= valid_from)
+        gate_init = _gate_init_from_tail(above_tail, gi_tail)
+        hist_init = halo.transpose(1, 0, 3, 2).reshape(C, B_loc, W)
+
+        table = minn_rtl_detect_fused_tm(
+            blk.reshape(G_loc * NT_loc, CR, LANES),
+            quarter_len=Q, smooth_shift=smooth_shift,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+            hysteresis=hysteresis, stream_len=block, batch=B_loc,
+            max_events=max_events, tie=tie,
+            emit_unclosed=True,  # boundary gates must surface for merging
+            rows=R, interpret=interpret,
+            base_index=shard_start, stream_len_global=L,
+            shard_init=(hist_init, carry_init, gate_init),
+        )
+        return _merge_shard_event_tables(
+            table, axis_name="seq", h=h, E=max_events,
+            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        )
+
+    spec_in = P("data", "seq", None, None)
+    rep = P("data")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_in,),
+        out_specs=(rep,) * 8,
+        check_vma=False,
+    )
+    valid, closed, gs, gc, pi, pv, count, overflow = fn(x_tiled)
+    table = GateEvents(
+        valid=valid, closed=closed, gate_start=gs, gate_close=gc,
+        peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
+    )
+    if batch is not None and batch < G * LANES:
+        table = jax.tree.map(lambda a: a[:batch], table)
+    return table
+
+
 def _merge_shard_event_tables(
     table, *, axis_name: str, h: int, E: int, tie_last: bool,
     emit_unclosed: bool, extras=(),
@@ -845,26 +989,28 @@ def _merge_shard_event_tables(
     seam (see `sharded_minn_rtl_detect_fused`) harmless.
     """
     i32 = jnp.int32
-    # pack the integer fields into ONE buffer so the merge costs two
-    # collectives (i32 + f32), not seven
+    # pack EVERYTHING into ONE i32 buffer (f32 fields -- peak_value plus any
+    # capture-at-peak side channels -- ride along bitcast to i32, losslessly
+    # reversed after the gather) so the merge costs a single all_gather
+    K = 1 + len(extras)
+    fpacked = jnp.concatenate([table.peak_value, *extras], axis=-1)
     packed = jnp.concatenate(
         [
             table.gate_start, table.gate_close, table.peak_idx,
             table.closed.astype(i32),
             table.count[:, None], table.overflow.astype(i32)[:, None],
+            jax.lax.bitcast_convert_type(fpacked, i32),
         ],
         axis=-1,
-    )  # (B, 4E + 2)
-    gi32 = jax.lax.all_gather(packed, axis_name)      # (n_seq, B, 4E+2)
-    # f32 fields: peak_value plus any capture-at-peak side channels, packed
-    # into the second (and last) collective
-    K = 1 + len(extras)
-    fpacked = jnp.concatenate([table.peak_value, *extras], axis=-1)
-    gf32 = jax.lax.all_gather(fpacked, axis_name)     # (n_seq, B, K*E)
+    )  # (B, (4 + K) * E + 2)
+    gall = jax.lax.all_gather(packed, axis_name)  # (n_seq, B, (4+K)E+2)
+    gf32 = jax.lax.bitcast_convert_type(
+        gall[..., 4 * E + 2 :], jnp.float32
+    )  # (n_seq, B, K*E)
     gathered = (
-        gi32[..., 0:E], gi32[..., E : 2 * E], gi32[..., 2 * E : 3 * E],
-        gf32, gi32[..., 3 * E : 4 * E].astype(bool),
-        gi32[..., 4 * E], gi32[..., 4 * E + 1].astype(bool),
+        gall[..., 0:E], gall[..., E : 2 * E], gall[..., 2 * E : 3 * E],
+        gf32, gall[..., 3 * E : 4 * E].astype(bool),
+        gall[..., 4 * E], gall[..., 4 * E + 1].astype(bool),
     )
     n_seq = gathered[0].shape[0]
     B = gathered[0].shape[1]

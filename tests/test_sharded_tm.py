@@ -1,0 +1,159 @@
+"""Sharded TIME-MAJOR detection == unsharded TM kernel (event tables).
+
+`sharded_minn_rtl_detect_fused_tm` runs the flagship time-major kernel per
+seq shard with halo-primed scratch and stitches the per-shard tables; the
+merged result must equal the unsharded TM kernel (itself asserted equal to
+the lane-major kernel in test_pallas_minn_tm).  Runs on the virtual
+8-device CPU mesh (conftest); gates are planted ON seq-shard seams.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ofdm_sync_tpu.kernels.pallas_minn_tm import (
+    minn_rtl_detect_fused_tm,
+    to_time_tiled,
+)
+from ofdm_sync_tpu.parallel.shard import (
+    make_stream_mesh,
+    sharded_minn_rtl_detect_fused_tm,
+)
+
+Q = 32
+KW = dict(
+    quarter_len=Q, smooth_shift=3, threshold_value=3276,
+    threshold_frac_bits=15, hysteresis=2,
+)
+R = 512          # rows per time block
+N_SEQ = 4
+NT = 8           # total time blocks -> L = 4096, 2 blocks per seq shard
+L = NT * R
+BLOCK = L // N_SEQ  # local samples per seq shard
+
+
+def _stimulus(rng, batch, events_at=()):
+    x = (0.25 * rng.standard_normal((4, batch, L))).astype(np.float32)
+    A = rng.standard_normal(Q) + 1j * rng.standard_normal(Q)
+    pre = np.concatenate([-A, A, A, -A, -A])
+    pre /= np.sqrt(np.mean(np.abs(pre) ** 2))
+    for b, pos in events_at:
+        for c, comp in ((0, pre.real), (1, pre.imag), (2, pre.real),
+                        (3, pre.imag)):
+            x[c, b, pos : pos + 5 * Q] += 3 * comp.astype(np.float32)
+    return x
+
+
+def _tables_equal(ref, out, batch):
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "count", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f))[:batch],
+            np.asarray(getattr(ref, f))[:batch],
+            err_msg=f,
+        )
+    rv = np.asarray(ref.peak_value)[:batch]
+    ov = np.asarray(out.peak_value)[:batch]
+    np.testing.assert_allclose(ov, rv, atol=1e-4 * max(1.0, np.abs(rv).max()))
+
+
+def _run_pair(x, mesh, batch, **kw):
+    kwargs = dict(KW)
+    kwargs.update(kw)
+    cl = jnp.asarray(x)
+    xt, G, NTx = to_time_tiled(cl, R)
+    assert NTx == NT
+    ref = minn_rtl_detect_fused_tm(
+        xt, **kwargs, rows=R, stream_len=L, batch=batch,
+    )
+    out = sharded_minn_rtl_detect_fused_tm(
+        xt.reshape(G, NT, 4 * R, 128), mesh, **kwargs,
+        stream_len=L, rows=R, batch=batch, interpret=True,
+    )
+    return ref, out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("boundary", [False, True])
+def test_sharded_tm_equals_unsharded(rng, boundary):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=1, n_seq=N_SEQ,
+                            devices=jax.devices()[:N_SEQ])
+    if boundary:
+        # peak regions straddle seq-shard seams (shards are BLOCK samples)
+        events = [(0, BLOCK - 3 * Q), (1, 2 * BLOCK - 2 * Q),
+                  (2, 3 * BLOCK - 4 * Q), (3, BLOCK - Q)]
+    else:
+        events = [(0, 300), (1, 700), (2, 1500), (3, 2600), (3, 3600)]
+    batch = 4
+    x = _stimulus(rng, batch, events)
+    ref, out = _run_pair(x, mesh, batch)
+    for b in range(batch):
+        assert int(ref.count[b]) >= 1, b
+    _tables_equal(ref, out, batch)
+
+
+@pytest.mark.slow
+def test_sharded_tm_data_parallel(rng):
+    """mesh (2, 4): 2 groups of 128 streams over 'data', seams on 'seq'."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    batch = 130  # pads to G=2 groups; group 1 streams 128,129 are real
+    events = [(0, BLOCK - 3 * Q), (129, 2 * BLOCK - 2 * Q), (128, 900)]
+    x = _stimulus(rng, batch, events)
+    ref, out = _run_pair(x, mesh, batch)
+    assert int(ref.count[129]) >= 1
+    _tables_equal(ref, out, batch)
+
+
+@pytest.mark.slow
+def test_sharded_tm_int16_matches_f32(rng):
+    """int16 tiled buffers (half the halo bytes on the wire) are
+    bit-identical to pre-converted f32."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=1, n_seq=N_SEQ,
+                            devices=jax.devices()[:N_SEQ])
+    batch = 3
+    x = _stimulus(rng, batch, [(0, BLOCK - 3 * Q), (2, 2000)])
+    xi = np.round(np.clip(x, -1, 1) * 2047).astype(np.int16)
+    cl16 = jnp.asarray(xi)
+    cl32 = cl16.astype(jnp.float32)
+    kw = dict(KW, stream_len=L, rows=R, batch=batch, interpret=True)
+    xt16, G, _ = to_time_tiled(cl16, R)
+    xt32, _, _ = to_time_tiled(cl32, R)
+    out16 = sharded_minn_rtl_detect_fused_tm(
+        xt16.reshape(G, NT, 4 * R, 128), mesh, **kw
+    )
+    out32 = sharded_minn_rtl_detect_fused_tm(
+        xt32.reshape(G, NT, 4 * R, 128), mesh, **kw
+    )
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "peak_value", "count", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out16, f)), np.asarray(getattr(out32, f)),
+            err_msg=f,
+        )
+
+
+@pytest.mark.slow
+def test_sharded_tm_emit_unclosed(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=1, n_seq=N_SEQ,
+                            devices=jax.devices()[:N_SEQ])
+    batch = 2
+    x = np.zeros((4, batch, L), np.float32)  # zero stream: one unclosed gate
+    xt, G, _ = to_time_tiled(jnp.asarray(x), R)
+    kw = dict(KW, stream_len=L, rows=R, batch=batch, interpret=True)
+    t_closed = sharded_minn_rtl_detect_fused_tm(
+        xt.reshape(G, NT, 4 * R, 128), mesh, **kw, emit_unclosed=False
+    )
+    t_open = sharded_minn_rtl_detect_fused_tm(
+        xt.reshape(G, NT, 4 * R, 128), mesh, **kw, emit_unclosed=True
+    )
+    assert int(t_closed.count[0]) == 0
+    assert int(t_open.count[0]) == 1 and not bool(t_open.closed[0, 0])
