@@ -166,3 +166,107 @@ def test_zc_detector_fused_iq_path_matches_detect(rng):
         assert a.peak_index == b.peak_index
         assert a.detected_start == b.detected_start
 
+
+def _planar_mf_iq(det, rx):
+    from ofdm_sync_tpu.ops import metrics as M
+
+    ref = jnp.asarray(det.reference_waveform(), jnp.complex64)
+    mf = M.matched_filter(jnp.asarray(rx, jnp.complex64), ref)
+    BR = mf.shape[0]
+    mf_planar = jnp.stack(
+        [p for b in range(BR) for p in (mf[b].real, mf[b].imag)], axis=0
+    )
+    iq_planar = jnp.stack(
+        [p for b in range(BR) for p in (np.real(rx[b]), np.imag(rx[b]))],
+        axis=0,
+    ).astype(jnp.float32)
+    ref_norm = float(jnp.sqrt(jnp.sum(jnp.abs(ref) ** 2)))
+    return mf_planar, iq_planar, int(ref.shape[-1]), ref_norm
+
+
+def test_zc_iq_tm_kernel_matches_xla(rng):
+    """TIME-MAJOR from-IQ fused kernel == the XLA ZCStreamingDetector path
+    at event-table granularity (same contract as the lane-major kernel)."""
+    from ofdm_sync_tpu.kernels.pallas_zc_tm import zc_iq_cfar_detect_tm_planar
+
+    det = _small_detector()
+    rx = _stimulus(det, rng)  # (2, L) complex
+    _, _, _, _, _, ref_tab, _ = det._detect_jit(jnp.asarray(rx))
+
+    mf_planar, iq_planar, ref_len, ref_norm = _planar_mf_iq(det, rx)
+    out = zc_iq_cfar_detect_tm_planar(
+        mf_planar[:, None, :],
+        iq_planar[:, None, :],
+        ref_len=ref_len,
+        ref_norm=ref_norm,
+        corr_window=det.params.corr_window,
+        threshold_value=det.params.threshold_value,
+        threshold_frac_bits=det.params.threshold_frac_bits,
+        min_corr_mag=det.params.min_corr_mag,
+        hysteresis=det.params.hysteresis,
+        max_events=det.max_events,
+        rows=1024,
+    )
+    assert int(out.count[0]) == int(ref_tab.count) >= 1
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f))[0], np.asarray(getattr(ref_tab, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.peak_value)[0], np.asarray(ref_tab.peak_value),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_zc_iq_tm_kernel_batched_matches_lane_major(rng):
+    """TM from-IQ kernel == the lane-major from-IQ kernel on a batch with
+    multiple preambles per stream (events in different time blocks)."""
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_iq_cfar_detect_pallas
+    from ofdm_sync_tpu.kernels.pallas_zc_tm import zc_iq_cfar_detect_tm_planar
+
+    det = _small_detector()
+    ref = det.reference_waveform()
+    L = 9000
+    rxs = []
+    for b in range(3):
+        sig = np.zeros(L, complex)
+        for pos in (2600 + 300 * b, 6200 + 300 * b):
+            sig[pos : pos + ref.size] = ref
+        rx = np.stack([sig, 0.7 * sig]) + 0.05 * (
+            rng.standard_normal((2, L)) + 1j * rng.standard_normal((2, L))
+        )
+        rxs.append(rx)
+    rxs = np.stack(rxs)  # (3, 2, L)
+    mfs, iqs = [], []
+    for b in range(3):
+        mf_p, iq_p, ref_len, ref_norm = _planar_mf_iq(det, rxs[b])
+        mfs.append(mf_p)
+        iqs.append(iq_p)
+    mf = jnp.stack(mfs, axis=1)  # (C, 3, Lc)
+    iq = jnp.stack(iqs, axis=1)  # (C, 3, L)
+    kw = dict(
+        ref_len=ref_len, ref_norm=ref_norm,
+        corr_window=det.params.corr_window,
+        threshold_value=det.params.threshold_value,
+        threshold_frac_bits=det.params.threshold_frac_bits,
+        min_corr_mag=det.params.min_corr_mag,
+        hysteresis=det.params.hysteresis,
+        max_events=det.max_events,
+    )
+    ref_tab = zc_iq_cfar_detect_pallas(mf, iq, **kw, block=2048)
+    out = zc_iq_cfar_detect_tm_planar(mf, iq, **kw, rows=1024)
+    for b in range(3):
+        assert int(out.count[b]) == int(ref_tab.count[b]) >= 2
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "count", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, f)), np.asarray(getattr(ref_tab, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.peak_value), np.asarray(ref_tab.peak_value),
+        rtol=1e-4, atol=1e-6,
+    )
+
