@@ -49,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
                       help="cir1 / cir2 / omit for AWGN")
     p_rx.add_argument("--cfo", type=float, default=500.0)
     p_rx.add_argument("--preamble-len", type=int, default=1024)
+    p_rx.add_argument("--num-frames", type=int, default=1)
     p_wave = sub.add_parser(
         "waveform",
         help="plot preamble / QPSK symbol / frame views "
@@ -98,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
             channel_name=args.channel,
             cfo_hz=args.cfo,
             preamble_length=args.preamble_len,
+            num_frames=args.num_frames,
         )
         return 0
 

@@ -615,6 +615,57 @@ class AADetector:
             table, n, P_pk[0], P_pk[1], np.asarray(M_pk)
         )
 
+    def detect_fused_frames(
+        self, rx, *, frame_len: int, max_frames: int = 4
+    ):
+        """R4 output contract: detect AND re-emit the aligned frame windows
+        on device (reference ref/minn_preamble_detector.sv:445-530 — the
+        circular-buffer + timer-queue re-emission; here a capacity-bounded
+        batched dynamic-slice over the HBM stream, `ops.extract`).
+
+        Frame windows open at ``peak - 2L + 1`` (the AA frame start,
+        reference sync_aa.py:540 / docs/aa_preamble_sync_design.md §9) and
+        span ``frame_len`` samples.  Returns ``(result, frames, starts,
+        valid)`` with frames planar ``(max_frames, 2*BR, frame_len)``
+        float32 — fetchable through the axon tunnel (no complex buffers).
+        """
+        from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+        from ofdm_sync_tpu.kernels.streaming import to_planar
+        from ofdm_sync_tpu.ops.extract import extract_frames
+
+        if isinstance(rx, np.ndarray):
+            x = rx[None] if rx.ndim == 1 else rx
+            iq = jnp.asarray(
+                np.stack([x.real, x.imag], axis=-2), jnp.float32
+            )
+            n = x.shape[-1]
+        else:
+            x = _dev(rx)
+            if x.ndim == 1:
+                x = x[None]
+            iq = to_planar(x)
+            n = x.shape[-1]
+        table, P_pk, M_pk = aa_detect_fused_pallas(
+            iq,
+            half_len=self.L,
+            threshold=self.params.threshold,
+            hysteresis=self.params.hysteresis,
+            max_events=self.max_events,
+        )
+        frames, starts, valid = extract_frames(
+            iq.reshape(-1, n), table,
+            frame_len=frame_len,
+            timing_offset=-(2 * self.L - 1),
+            max_frames=max_frames,
+        )
+        P_pk = np.asarray(P_pk)
+        result = self._assemble_events(
+            table, n, P_pk[0], P_pk[1], np.asarray(M_pk)
+        )
+        return result, np.asarray(frames), np.asarray(starts), np.asarray(
+            valid
+        )
+
     @staticmethod
     def best(result: DetectionResult) -> DetectionEvent | None:
         """Strongest event by metric (reference sync_aa.py:742-743)."""

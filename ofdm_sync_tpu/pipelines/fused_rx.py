@@ -4,18 +4,23 @@ The reference-parity pipelines mirror the reference scripts' math and
 prints; this demo drives the deployment path instead: the fully-fused
 Pallas [A][A] detector (one HBM read, event table out, CFO captured at the
 peak in-kernel, reference sync_aa.py:421-571 + docs/aa_preamble_sync_design
-.md sections 7-9), then the standard receive stages on the recovered frame:
-CFO correction, pilot LS channel estimate, data equalization, EVM
-(the stage shape of reference sc.py:279-309, on the 10 MHz AA system).
+.md sections 7-9), then **device-side aligned frame re-emission** (the RTL
+detector's output contract: circular buffer + timer queue,
+ref/minn_preamble_detector.sv:445-530, re-expressed as a capacity-bounded
+batched dynamic-slice — `ops.extract`), then the standard receive stages
+on each recovered frame: CFO correction, pilot LS channel estimate, data
+equalization, EVM (the stage shape of reference sc.py:279-309, on the
+10 MHz AA system).  Multi-frame streams (reference minn_rtl.py:884-888
+transmits two frames) recover every frame from one detection pass.
 
-Run: ``python -m ofdm_sync_tpu fused_rx [--snr 10] [--channel cir1]``.
-On TPU hardware the detector is the Mosaic kernel; elsewhere the same
-kernel runs in Pallas interpret mode.
+Run: ``python -m ofdm_sync_tpu fused_rx [--snr 10] [--channel cir1]
+[--num-frames 2]``.  On TPU hardware the detector is the Mosaic kernel;
+elsewhere the same kernel runs in Pallas interpret mode.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import jax
@@ -36,7 +41,6 @@ from ofdm_sync_tpu.ops.estimate import (
     ls_channel_estimate,
 )
 from ofdm_sync_tpu.ops.waveforms import (
-    assemble_frame,
     build_aa_preamble,
     build_aa_qpsk_symbol,
     ofdm_fft_used,
@@ -53,12 +57,21 @@ SEED = 42
 
 
 @dataclass
+class FrameResult:
+    timing_error: int
+    cfo_error_hz: float
+    evm_pct: float
+    evm_db: float
+
+
+@dataclass
 class FusedRxResult:
     detected: bool
     timing_error: int
     cfo_error_hz: float
     evm_pct: float
     evm_db: float
+    frames: list = field(default_factory=list)  # per-frame FrameResult
 
 
 def run_fused_rx(
@@ -68,33 +81,49 @@ def run_fused_rx(
     preamble_length: int = PREAMBLE_LEN,
     full_scale_ratio: float = FULL_SCALE_RATIO,
     seed: int = SEED,
+    num_frames: int = 1,
 ) -> FusedRxResult:
-    """Synthesize one AA frame, receive it through the fused kernel, and
-    demodulate: detect -> frame timing + CFO from the event table ->
-    correct -> LS EQ on the pilot -> EVM on the data symbol."""
+    """Synthesize `num_frames` AA frames, receive them through the fused
+    kernel, re-emit each aligned frame window ON DEVICE, and demodulate:
+    detect -> frame windows + CFO from the event table -> correct -> LS EQ
+    on the pilot -> EVM on the data symbol, per frame."""
     rng = np.random.default_rng(seed)
     fs = SYS.sample_rate_hz
     # frame synthesis + demod math are tiny and complex-valued; run them on
     # the CPU backend (the experimental axon TPU backend cannot transfer
-    # complex buffers to host) -- only detection runs on the accelerator
+    # complex buffers to host) -- detection + frame extraction run on the
+    # accelerator, and the extracted windows come back PLANAR
     cpu = jax.devices("cpu")[0]
 
-    # --- transmit: [guard | preamble | pilot | data | guard] --------------
+    # --- transmit: [pad | frame | gap | frame ... | pad] ------------------
+    # (two-frame stream shape: reference minn_rtl.py:884-888)
     preamble, _, papr_db = build_aa_preamble(preamble_length, SYS)
     pilot_symbol, pilot_used = build_aa_qpsk_symbol(rng, SYS)
     data_symbol, data_used = build_aa_qpsk_symbol(rng, SYS)
-    tx = assemble_frame(
-        preamble, pilot_symbol, data_symbol,
-        pre_pad=SYS.tx_pre_pad, post_pad=500,
-    )
-    true_start = SYS.tx_pre_pad
+    frame = np.concatenate([
+        np.asarray(preamble), np.asarray(pilot_symbol),
+        np.asarray(data_symbol),
+    ])
+    flen = frame.shape[0]
+    parts = [np.zeros(SYS.tx_pre_pad, complex)]
+    tx_starts = []
+    pos = SYS.tx_pre_pad
+    for k in range(num_frames):
+        parts.append(frame)
+        tx_starts.append(pos)
+        pos += flen
+        if k < num_frames - 1:
+            parts.append(np.zeros(flen, complex))
+            pos += flen
+    parts.append(np.zeros(500, complex))
+    tx = np.concatenate(parts)
 
     # --- channel + CFO + 12-bit ADC (reference sync_aa.py:712-735) --------
     with jax.default_device(cpu):
         rx, _cir, channel_peak_offset = apply_channel_multi_antenna(
             tx, snr_db, rng, channel_name, num_rx_antennas=2
         )
-        true_start += channel_peak_offset
+        true_starts = [s + channel_peak_offset for s in tx_starts]
         rx = np.asarray(
             apply_cfo(jnp.asarray(rx, jnp.complex64), cfo_hz, fs)
         )
@@ -106,9 +135,11 @@ def run_fused_rx(
             quantize_adc(jnp.asarray(rx, jnp.complex64), full_scale)
         )
 
-    # --- detect: fused Pallas kernel, events + CFO straight out -----------
+    # --- detect + re-emit aligned frames, all on device -------------------
     det = AADetector(SYS, AADetectorParams(preamble_len=preamble_length))
-    result = det.detect_fused(rx_q)
+    result, frames_dev, starts, valid = det.detect_fused_frames(
+        rx_q, frame_len=flen, max_frames=4
+    )
     best = AADetector.best(result)
 
     channel_str = channel_name if channel_name else "awgn"
@@ -118,58 +149,75 @@ def run_fused_rx(
     )
     print(f"Stream: {rx_q.shape[1]} samples x {rx_q.shape[0]} antennas, "
           f"12-bit ADC (clipping {clip['total_clip_pct']:.2f}%), "
-          f"preamble PAPR {papr_db:.2f} dB")
-    if best is None:
+          f"preamble PAPR {papr_db:.2f} dB, {num_frames} frame(s) sent")
+    if best is None or not valid.any():
         print("NO DETECTION -- receiver idle")
         return FusedRxResult(False, -1, float("nan"), float("nan"),
                              float("nan"))
 
-    timing_err = best.detected_start - true_start
-    cfo_err = best.cfo_hz - cfo_hz
-    print("\nDetection (from the in-kernel event table):")
-    print(f"  Frame start: {best.detected_start} "
-          f"(true {true_start}, error {timing_err:+d} samples)")
-    print(f"  CFO at peak: {best.cfo_hz:.2f} Hz "
-          f"(applied {cfo_hz:.1f}, error {cfo_err:+.2f} Hz)")
-    print(f"  Gate [{best.gate_start}, {best.gate_end}], peak metric "
-          f"M={best.metric_at_peak:.3f}, events={len(result.events)}")
-    if abs(timing_err) > SYS.cp_len:
-        # the reference design doc's multipath group-delay offset
-        # (+77..+94 samples, docs/aa_preamble_sync_design.md section 13)
-        # exceeds this system's 72-sample CP: ISI will degrade the EQ below
-        print(f"  NOTE: timing error exceeds the {SYS.cp_len}-sample CP "
-              "(multipath group delay) -- expect inter-symbol interference")
+    n_det = int(valid.sum())
+    print(f"\nDetection (in-kernel event table -> device-side frame "
+          f"re-emission, {n_det} frame window(s)):")
 
-    # --- receive stages on the recovered frame (CPU: complex math) --------
-    with jax.default_device(cpu):
-        rx_c = np.asarray(
-            apply_cfo(jnp.asarray(rx_q, jnp.complex64), -best.cfo_hz, fs)
+    # --- receive stages per recovered frame (CPU: complex math) -----------
+    frame_results: list[FrameResult] = []
+    events = result.events
+    for k in range(n_det):
+        ev = events[k] if k < len(events) else None
+        tstart = true_starts[k] if k < len(true_starts) else true_starts[-1]
+        timing_err = int(starts[k]) - tstart
+        cfo_est = ev.cfo_hz if ev is not None else 0.0
+        cfo_err = cfo_est - cfo_hz
+        fp = frames_dev[k]  # planar (2*BR, flen) float32
+        with jax.default_device(cpu):
+            ants = np.stack([
+                fp[2 * b] + 1j * fp[2 * b + 1]
+                for b in range(fp.shape[0] // 2)
+            ])
+            # local-index CFO correction: the constant phase offset vs the
+            # stream-absolute correction is absorbed by the LS estimate
+            ants = np.asarray(
+                apply_cfo(jnp.asarray(ants, jnp.complex64), -cfo_est, fs)
+            )
+            combined = ants.mean(axis=0)
+            pilot_off = preamble_length + SYS.cp_len
+            data_off = pilot_off + SYS.n_fft + SYS.cp_len
+            pilot_bins = np.asarray(ofdm_fft_used(
+                jnp.asarray(combined[pilot_off:pilot_off + SYS.n_fft]), SYS,
+            ))
+            data_bins = np.asarray(ofdm_fft_used(
+                jnp.asarray(combined[data_off:data_off + SYS.n_fft]), SYS,
+            ))
+            h_est = np.asarray(ls_channel_estimate(pilot_bins, pilot_used))
+            eq = np.asarray(equalize(data_bins, jnp.asarray(h_est)))
+            eq_aligned, gain = align_complex_gain(jnp.asarray(eq), data_used)
+            gain = complex(
+                np.asarray(jnp.real(gain)) + 1j * np.asarray(jnp.imag(gain))
+            )
+            evm_rms, evm_db = evm_rms_db(eq_aligned, jnp.asarray(data_used))
+            evm_pct, evm_db = 100.0 * float(evm_rms), float(evm_db)
+        frame_results.append(
+            FrameResult(timing_err, float(cfo_err), evm_pct, evm_db)
         )
-        combined = rx_c.mean(axis=0)
-        pilot_n_start = best.detected_start + preamble_length + SYS.cp_len
-        data_n_start = pilot_n_start + SYS.n_fft + SYS.cp_len
-        pilot_bins = np.asarray(ofdm_fft_used(
-            jnp.asarray(combined[pilot_n_start:pilot_n_start + SYS.n_fft]),
-            SYS,
-        ))
-        data_bins = np.asarray(ofdm_fft_used(
-            jnp.asarray(combined[data_n_start:data_n_start + SYS.n_fft]),
-            SYS,
-        ))
-        h_est = np.asarray(ls_channel_estimate(pilot_bins, pilot_used))
-        eq = np.asarray(equalize(data_bins, jnp.asarray(h_est)))
-        eq_aligned, gain = align_complex_gain(jnp.asarray(eq), data_used)
-        gain = complex(np.asarray(jnp.real(gain)) + 1j * np.asarray(jnp.imag(gain)))
-        evm_rms, evm_db = evm_rms_db(eq_aligned, jnp.asarray(data_used))
-        evm_pct, evm_db = 100.0 * float(evm_rms), float(evm_db)
+        print(f"  Frame {k}: start {int(starts[k])} (true {tstart}, "
+              f"error {timing_err:+d}), CFO {cfo_est:.2f} Hz "
+              f"(error {cfo_err:+.2f}), EVM {evm_pct:.2f}% "
+              f"({evm_db:.2f} dB), gain {abs(gain):.3f}")
+        if abs(timing_err) > SYS.cp_len:
+            # the reference design doc's multipath group-delay offset
+            # (+77..+94 samples, docs/aa_preamble_sync_design.md section 13)
+            # exceeds this system's 72-sample CP: ISI degrades the EQ below
+            print(f"    NOTE: timing error exceeds the {SYS.cp_len}-sample "
+                  "CP (multipath group delay) -- expect ISI")
 
-    print("\nEqualization (pilot LS -> data):")
-    print(f"  Complex gain after EQ: {abs(gain):.3f}, "
-          f"{np.angle(gain):+.3f} rad")
-    print(f"  Data EVM: {evm_pct:.2f}%  ({evm_db:.2f} dB)")
+    first = frame_results[0]
+    print(f"\n  Gate [{best.gate_start}, {best.gate_end}], peak metric "
+          f"M={best.metric_at_peak:.3f}, events={len(result.events)}")
     print(report.BANNER)
-    return FusedRxResult(True, int(timing_err), float(cfo_err),
-                         evm_pct, evm_db)
+    return FusedRxResult(
+        True, first.timing_error, first.cfo_error_hz, first.evm_pct,
+        first.evm_db, frames=frame_results,
+    )
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -181,12 +229,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="cir1 / cir2 / omit for AWGN")
     ap.add_argument("--cfo", type=float, default=CFO_HZ)
     ap.add_argument("--preamble-len", type=int, default=PREAMBLE_LEN)
+    ap.add_argument("--num-frames", type=int, default=1)
     args = ap.parse_args(argv)
     run_fused_rx(
         snr_db=args.snr,
         channel_name=args.channel,
         cfo_hz=args.cfo,
         preamble_length=args.preamble_len,
+        num_frames=args.num_frames,
     )
 
 

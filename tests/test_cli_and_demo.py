@@ -79,6 +79,21 @@ def test_fused_rx_pipeline():
     assert r.evm_pct < 35.0            # ~ sqrt(1/SNR) / sqrt(2 antennas)
 
 
+def test_fused_rx_two_frames():
+    """Multi-frame stimulus (reference minn_rtl.py:884-888 transmits two
+    frames): ONE detection pass + device-side aligned re-emission
+    (ref/minn_preamble_detector.sv:445-530) recovers and demodulates BOTH
+    frames."""
+    from ofdm_sync_tpu.pipelines.fused_rx import run_fused_rx
+
+    r = run_fused_rx(snr_db=15.0, num_frames=2)
+    assert r.detected
+    assert len(r.frames) >= 2
+    for fr in r.frames[:2]:
+        assert abs(fr.timing_error) <= 16  # the RTL conformance precedent
+        assert fr.evm_pct < 30.0
+
+
 def test_fused_rx_cli():
     from ofdm_sync_tpu.__main__ import main
 
