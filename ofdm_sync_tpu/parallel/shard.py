@@ -126,7 +126,14 @@ def _shard_left_halo(blk, W: int, n_seq: int, axis_name: str = "seq"):
     threshold in the final h halo samples could prime a gate state that
     disagrees with the neighbor shard's emitted table.  This is the same
     association caveat as every sharded==unsharded guarantee in this
-    module; tests use clear-margin thresholds.
+    module.  Measured behavior at the knife edge
+    (tests/test_sharded_detect.py::test_sharded_fused_seam_ulp_adversarial
+    bisects a stimulus gain until the compare at the last pre-seam sample
+    sits within one f32 ulp): tables remained bit-identical at the
+    boundary and +/-16 ulps around it.  If the caveat ever does fire, the
+    envelope is bounded by construction: the merged table can only differ
+    by one seam-local gate merge/split (count +/-1) -- never a dropped or
+    duplicated detection (asserted by the same test).
     """
     sidx = jax.lax.axis_index(axis_name)
     tail = blk[..., -W:]
