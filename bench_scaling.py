@@ -4,20 +4,24 @@
 BASELINE.md's third target -- >=90 % samples/s scaling efficiency at
 1 chip -> 1 host -> N>=2 hosts -- cannot be measured end-to-end on this
 image (one real chip through the axon tunnel), so this harness makes the
-claim falsifiable from three measurable sides:
+claim falsifiable from three measurable sides.  As of round 3 every side
+runs the FLAGSHIP time-major kernel (`pallas_minn_tm`), the same kernel
+bench.py's headline quotes -- no kernel mixing:
 
-  (a) REAL CHIP: `sharded_minn_rtl_detect_fused` on a mesh(1,1) vs the
-      unsharded fused kernel -- bounds the shard_map + collective-stitch
+  (a) REAL CHIP: `sharded_minn_rtl_detect_fused_tm` on a mesh(1,1) vs the
+      unsharded TM fused kernel -- bounds the shard_map + collective-stitch
       overhead that every multi-chip config pays per chip.
-  (b) 8-DEVICE CPU MESH (subprocess): runs the same sharded path on
+  (b) 8-DEVICE CPU MESH (subprocess): runs the same sharded TM path on
       (data,seq) = (8,1), (2,4), (1,8); asserts event-table equality to
-      the unsharded result; counts the ACTUAL collectives per dispatch
-      from the compiled HLO; reports halo bytes per shard.
+      the unsharded TM kernel; counts the ACTUAL collectives per dispatch
+      from the compiled HLO; verifies the int16-on-the-wire halo path is
+      bit-identical; reports halo bytes per shard for both dtypes.
   (c) PROJECTION: combines the measured single-chip rate (bench.py), the
       counted collectives, and public ICI/DCN bandwidth assumptions into
-      projected weak/strong-scaling efficiencies for 8 chips and 2 hosts.
+      projected weak/strong-scaling efficiencies for 8 chips and 2 hosts,
+      for both f32 and int16 (production ADC ingest) halos.
 
-Writes SCALING_r02.json and prints one JSON summary line.
+Writes SCALING_r03.json and prints one JSON summary line.
 """
 
 from __future__ import annotations
@@ -32,12 +36,16 @@ from pathlib import Path
 import numpy as np
 
 Q = 512
+SMOOTH_SHIFT = 3
+HYST = 2
 KW = dict(
-    quarter_len=Q, smooth_shift=3, threshold_value=int(0.10 * (1 << 15)),
-    threshold_frac_bits=15, hysteresis=2,
+    quarter_len=Q, smooth_shift=SMOOTH_SHIFT,
+    threshold_value=int(0.10 * (1 << 15)),
+    threshold_frac_bits=15, hysteresis=HYST,
 )
-C = 4
-HALO = 3 * Q  # samples of halo per seq shard (one left ppermute)
+C = 4          # 2 RX branches x (I, Q) planar channel rows
+ROWS = 8192    # TM kernel rows per grid step (the bench.py headline shape)
+LANES = 128
 
 # Conservative public bandwidth assumptions (bytes/s); the projection
 # reports its own inputs so the assumption is auditable.
@@ -45,7 +53,13 @@ ICI_BW = 45e9    # v5e ICI per link-direction, ~50 GB/s class
 DCN_BW = 6.25e9  # 50 Gbps host NIC
 COLL_LAT_ICI = 2e-6
 COLL_LAT_DCN = 50e-6
-SINGLE_CHIP_SPS = 17.0e9  # bench.py driver-captured rate (samples/s/chip)
+SINGLE_CHIP_SPS = 17.0e9  # bench.py driver-captured TM rate (samples/s/chip)
+
+
+def _halo_width() -> int:
+    from ofdm_sync_tpu.parallel.shard import _minn_halo_width
+
+    return _minn_halo_width(Q, SMOOTH_SHIFT, max(HYST, 1))
 
 
 def _count_collectives(lowered_text: str) -> dict:
@@ -60,26 +74,28 @@ def _count_collectives(lowered_text: str) -> dict:
 def part_real_chip() -> dict:
     import jax
     import jax.numpy as jnp
-    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
+    from ofdm_sync_tpu.kernels.pallas_minn_tm import minn_rtl_detect_fused_tm
     from ofdm_sync_tpu.parallel.shard import (
-        make_stream_mesh, sharded_minn_rtl_detect_fused,
+        make_stream_mesh, sharded_minn_rtl_detect_fused_tm,
     )
 
-    batch, L = 128, 1 << 18
+    batch, L = 128, 1 << 18          # G=1 group of 128 streams
+    G, NT = batch // LANES, L // ROWS
     x = jax.jit(
-        lambda k: jax.random.normal(k, (C, batch, L), jnp.float32)
+        lambda k: jax.random.normal(k, (G, NT, C * ROWS, LANES), jnp.float32)
     )(jax.random.key(0))
     x.block_until_ready()
     mesh = make_stream_mesh(1, 1, devices=np.asarray(jax.devices()[:1]))
 
     base = jax.jit(
-        lambda v: minn_rtl_detect_fused_pallas(
-            v, **KW, block=16384, channel_leading=True
+        lambda v: minn_rtl_detect_fused_tm(
+            v.reshape(G * NT, C * ROWS, LANES), **KW,
+            rows=ROWS, stream_len=L, batch=batch,
         ).count
     )
     shrd = jax.jit(
-        lambda v: sharded_minn_rtl_detect_fused(
-            v, mesh, **KW, kernel_block=16384, channel_leading=True
+        lambda v: sharded_minn_rtl_detect_fused_tm(
+            v, mesh, **KW, stream_len=L, rows=ROWS, batch=batch,
         ).count
     )
 
@@ -98,6 +114,7 @@ def part_real_chip() -> dict:
     sps_shrd = timeit(shrd)
     return {
         "platform": "tpu",
+        "kernel": "pallas_minn_tm (flagship time-major)",
         "workload": {"batch": batch, "stream_len": L},
         "unsharded_samples_per_sec": round(sps_base),
         "sharded_mesh11_samples_per_sec": round(sps_shrd),
@@ -114,54 +131,102 @@ def part_cpu_mesh() -> dict:
 
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from ofdm_sync_tpu.kernels.streaming import minn_rtl_detect_planar
+    from ofdm_sync_tpu.kernels.pallas_minn_tm import minn_rtl_detect_fused_tm
     from ofdm_sync_tpu.parallel.shard import (
-        make_stream_mesh, sharded_minn_rtl_detect_fused,
+        _minn_halo_width, make_stream_mesh, sharded_minn_rtl_detect_fused_tm,
     )
 
     assert len(jax.devices()) == 8
+    # small Q keeps interpret-mode cost down; same code path as Q=512
+    q = 32
+    kw = dict(KW, quarter_len=q)
+    W = _minn_halo_width(q, SMOOTH_SHIFT, max(HYST, 1))
+    rows = 512
+    assert W <= rows
+    G, NT = 8, 8
+    L = NT * rows
     rng = np.random.default_rng(0)
-    batch, L = 8, 1 << 15
-    x = rng.standard_normal((C, batch, L)).astype(np.float32)
-    # plant a preamble straddling the seq-shard boundary of an 8-way split
-    A = rng.standard_normal(Q) + 1j * rng.standard_normal(Q)
+    x = rng.standard_normal((G, NT, C * rows, LANES)).astype(np.float32)
+    # plant a preamble straddling the seam between seq shards 3|4 of the
+    # (1,8) mesh on stream 0 of group 0 (lane 0)
+    A = rng.standard_normal(q) + 1j * rng.standard_normal(q)
     pre = np.concatenate([-A, A, A, -A, -A])
     pre /= np.sqrt(np.mean(np.abs(pre) ** 2))
-    p = L // 8 - 2 * Q
-    x[0, 0, p : p + 5 * Q] += 3 * pre.real.astype(np.float32)
-    x[1, 0, p : p + 5 * Q] += 3 * pre.imag.astype(np.float32)
+    p = 4 * rows - 2 * q        # starts in shard 3, peaks past the seam
+    flat_i = np.zeros(L, np.float32)
+    flat_q = np.zeros(L, np.float32)
+    flat_i[p : p + 5 * q] = 3 * pre.real
+    flat_q[p : p + 5 * q] = 3 * pre.imag
+    # scatter into the tiled layout: sample t*rows+r of lane s lives at
+    # x[g, t, c*rows + r, s]
+    for c, flat in ((0, flat_i), (1, flat_q)):
+        x[0, :, c * rows : (c + 1) * rows, 0] += flat.reshape(NT, rows)
     xj = jnp.asarray(x)
 
-    # unsharded oracle (XLA path)
-    def one(stream):
-        _, t = minn_rtl_detect_planar(stream.reshape(2, 2, L), **KW)
-        return t
+    # unsharded TM oracle (interpret mode on CPU)
+    ref = jax.jit(
+        lambda v: minn_rtl_detect_fused_tm(
+            v.reshape(G * NT, C * rows, LANES), **kw,
+            rows=rows, stream_len=L, batch=G * LANES, interpret=True,
+        )
+    )(xj)
 
-    ref = jax.jit(jax.vmap(one, in_axes=1))(xj)
+    def tables_equal(tab, oracle) -> bool:
+        return all(
+            np.array_equal(np.asarray(getattr(tab, f)),
+                           np.asarray(getattr(oracle, f)))
+            for f in ("count", "gate_start", "gate_close", "peak_idx")
+        )
 
-    out = {"meshes": {}}
+    out = {"meshes": {}, "halo_width_samples": W}
     for n_data, n_seq in ((8, 1), (2, 4), (1, 8)):
         mesh = make_stream_mesh(n_data, n_seq)
         fn = jax.jit(
-            lambda v, mesh=mesh: sharded_minn_rtl_detect_fused(
-                v, mesh, **KW, kernel_block=4096, channel_leading=True,
+            lambda v, mesh=mesh: sharded_minn_rtl_detect_fused_tm(
+                v, mesh, **kw, stream_len=L, rows=rows, batch=G * LANES,
                 interpret=True,
             )
         )
         tab = fn(xj)
-        equal = all(
-            np.array_equal(np.asarray(getattr(tab, f)),
-                           np.asarray(getattr(ref, f)))
-            for f in ("count", "gate_start", "gate_close", "peak_idx")
-        )
         hlo = fn.lower(xj).compile().as_text()
         colls = _count_collectives(hlo)
-        halo_bytes = C * batch * HALO * 4 if n_seq > 1 else 0
+        G_loc = G // n_data
         out["meshes"][f"data{n_data}xseq{n_seq}"] = {
-            "events_equal_unsharded": bool(equal),
+            "events_equal_unsharded": bool(tables_equal(tab, ref)),
             "collectives_per_dispatch": colls,
-            "halo_bytes_per_seq_shard": halo_bytes,
+            "halo_bytes_per_seq_shard_f32": (
+                G_loc * C * W * LANES * 4 if n_seq > 1 else 0
+            ),
+            "halo_bytes_per_seq_shard_int16": (
+                G_loc * C * W * LANES * 2 if n_seq > 1 else 0
+            ),
         }
+
+    # int16-on-the-wire halo path: production ADC samples are int12-in-int16;
+    # the sharded path keeps the halo ppermute in int16 (half the DCN bytes)
+    # and the kernel converts in VMEM -- results must be bit-identical to
+    # running the same int16 data unsharded.
+    xi16 = np.clip(np.round(x * 256.0), -2048, 2047).astype(np.int16)
+    xi16j = jnp.asarray(xi16)
+    ref16 = jax.jit(
+        lambda v: minn_rtl_detect_fused_tm(
+            v.reshape(G * NT, C * rows, LANES), **kw,
+            rows=rows, stream_len=L, batch=G * LANES, interpret=True,
+        )
+    )(xi16j)
+    mesh18 = make_stream_mesh(1, 8)
+    tab16 = jax.jit(
+        lambda v: sharded_minn_rtl_detect_fused_tm(
+            v, mesh18, **kw, stream_len=L, rows=rows, batch=G * LANES,
+            interpret=True,
+        )
+    )(xi16j)
+    out["int16_halo_events_equal_unsharded"] = bool(
+        tables_equal(tab16, ref16)
+    )
+    out["planted_seam_event_detected"] = bool(
+        np.asarray(ref.count)[0] >= 1
+    )
     return out
 
 
@@ -176,21 +241,44 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
     * strong seq:  one fixed super-stream split N ways -- halo fraction
       grows as shards shrink (reported for completeness; not the target's
       regime).
+
+    Projected for BOTH halo dtypes: f32 (the float bench workload) and
+    int16 (the production ADC ingest dtype -- the sharded TM path keeps
+    int16 on the wire, verified bit-identical in part (b)).
     """
     batch, L = 512, 1 << 18
+    W = cpu_part.get("halo_width_samples", 1794)
     t_comp = batch * L / SINGLE_CHIP_SPS
 
-    # collective rounds counted from HLO for the (1,8) mesh
+    # collective rounds counted from HLO for the (1,8) mesh: one halo
+    # ppermute + ONE packed all_gather table merge (round 2 paid 3 rounds)
     m18 = cpu_part["meshes"]["data1xseq8"]["collectives_per_dispatch"]
     rounds = sum(m18.values())
-    halo = C * batch * (HALO + 256) * 4
+    halo_elems = C * batch * W          # == G_loc * C * W * LANES
 
-    def eff(tc, bw, lat):
-        t_comm = halo / bw + rounds * lat
+    def eff(tc, bw, lat, bytes_per_elem):
+        t_comm = halo_elems * bytes_per_elem / bw + rounds * lat
         return tc / (tc * overhead_ratio + t_comm)
+
+    def block(bytes_per_elem):
+        return {
+            "weak_scaling_seq_8chip_ici": round(
+                eff(t_comp, ICI_BW, COLL_LAT_ICI, bytes_per_elem), 4
+            ),
+            "weak_scaling_seq_2host_dcn": round(
+                eff(t_comp, DCN_BW, COLL_LAT_DCN, bytes_per_elem), 4
+            ),
+            "strong_scaling_seq_8chip_ici": round(
+                eff(t_comp / 8, ICI_BW, COLL_LAT_ICI, bytes_per_elem), 4
+            ),
+            "strong_scaling_seq_2host_dcn": round(
+                eff(t_comp / 2, DCN_BW, COLL_LAT_DCN, bytes_per_elem), 4
+            ),
+        }
 
     return {
         "assumptions": {
+            "kernel": "pallas_minn_tm (flagship; same kernel as bench.py)",
             "single_chip_samples_per_sec": SINGLE_CHIP_SPS,
             "measured_per_chip_shard_overhead_ratio": overhead_ratio,
             "ici_bw_bytes_per_sec": ICI_BW,
@@ -198,7 +286,9 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
             "collective_latency_ici_s": COLL_LAT_ICI,
             "collective_latency_dcn_s": COLL_LAT_DCN,
             "collective_rounds_per_dispatch": rounds,
-            "halo_bytes_per_seq_shard": halo,
+            "halo_width_samples": W,
+            "halo_bytes_per_seq_shard_f32": halo_elems * 4,
+            "halo_bytes_per_seq_shard_int16": halo_elems * 2,
         },
         "weak_scaling_data_parallel": {
             # no cross-stream communication in the detection path at all
@@ -207,14 +297,8 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
             "efficiency_8chip": 1.0,
             "efficiency_2host": 1.0,
         },
-        "weak_scaling_seq_8chip_ici": round(eff(t_comp, ICI_BW, COLL_LAT_ICI), 4),
-        "weak_scaling_seq_2host_dcn": round(eff(t_comp, DCN_BW, COLL_LAT_DCN), 4),
-        "strong_scaling_seq_8chip_ici": round(
-            eff(t_comp / 8, ICI_BW, COLL_LAT_ICI), 4
-        ),
-        "strong_scaling_seq_2host_dcn": round(
-            eff(t_comp / 2, DCN_BW, COLL_LAT_DCN), 4
-        ),
+        "halo_f32": block(4),
+        "halo_int16": block(2),
     }
 
 
@@ -230,7 +314,7 @@ def main() -> None:
         [sys.executable, os.path.abspath(__file__)],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-        timeout=1800,
+        timeout=3600,
     )
     lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -250,7 +334,7 @@ def main() -> None:
     overhead = result.get("real_chip", {}).get("shard_overhead_ratio", 1.05)
     result["projection"] = projection(cpu_part, overhead_ratio=overhead)
 
-    out_path = Path(__file__).parent / "SCALING_r02.json"
+    out_path = Path(__file__).parent / "SCALING_r03.json"
     out_path.write_text(json.dumps(result, indent=1))
     proj = result["projection"]
     print(json.dumps({
@@ -258,9 +342,11 @@ def main() -> None:
         "weak_data_8chip": proj["weak_scaling_data_parallel"][
             "efficiency_8chip"
         ],
-        "weak_seq_8chip_ici": proj["weak_scaling_seq_8chip_ici"],
-        "weak_seq_2host_dcn": proj["weak_scaling_seq_2host_dcn"],
-        "strong_seq_8chip_ici": proj["strong_scaling_seq_8chip_ici"],
+        "weak_seq_8chip_ici_f32": proj["halo_f32"]["weak_scaling_seq_8chip_ici"],
+        "weak_seq_2host_dcn_f32": proj["halo_f32"]["weak_scaling_seq_2host_dcn"],
+        "weak_seq_2host_dcn_int16": proj["halo_int16"][
+            "weak_scaling_seq_2host_dcn"
+        ],
         "mesh11_overhead_ratio": result.get("real_chip", {}).get(
             "shard_overhead_ratio"
         ),
