@@ -29,6 +29,27 @@ def _cells():
 
 _ROWS, _IDS = _cells()
 
+# Quick tier: a deterministic stratified 15-cell sample -- every
+# (channel, SNR) pair exactly once, rotating through all three full-scale
+# ratios and all three preamble lengths so each swept axis is touched.
+# The full 135-cell replay runs in the slow/parity tier.
+_QUICK_IDX = []
+_seen = {}
+_fs_cycle = {}
+for _i, _r in enumerate(_ROWS):
+    _key = (_r["channel"], _r["snr_db"])
+    _want = _seen.setdefault(
+        _key,
+        (
+            [0.5, 1.0, 2.0][len(_seen) % 3],
+            [1024, 512, 256][(len(_seen) // 3) % 3],
+        ),
+    )
+    if (_r["full_scale_ratio"], _r["preamble_length"]) == _want and _key not in _fs_cycle:
+        _fs_cycle[_key] = _i
+_QUICK_IDX = sorted(_fs_cycle.values())
+assert len(_QUICK_IDX) == 15, _QUICK_IDX
+
 
 @pytest.fixture(scope="module")
 def aa_pipeline():
@@ -37,8 +58,7 @@ def aa_pipeline():
     return aa
 
 
-@pytest.mark.parametrize("ref", _ROWS, ids=_IDS)
-def test_grid_cell_parity(aa_pipeline, ref):
+def _check_cell(aa_pipeline, ref):
     got = aa_pipeline.run_single_test(
         snr_db=ref["snr_db"],
         channel_name=None if ref["channel"] == "awgn" else ref["channel"],
@@ -56,3 +76,21 @@ def test_grid_cell_parity(aa_pipeline, ref):
     assert abs(got.clipping_pct - ref["clipping_pct"]) < 0.05
     assert abs(got.effective_bits - ref["effective_bits"]) < 0.02
     assert abs(got.metric_peak - ref["metric_peak"]) < 2e-3
+
+
+@pytest.mark.parametrize(
+    "ref", [_ROWS[i] for i in _QUICK_IDX], ids=[_IDS[i] for i in _QUICK_IDX]
+)
+def test_grid_cell_parity_quick(aa_pipeline, ref):
+    _check_cell(aa_pipeline, ref)
+
+
+@pytest.mark.slow
+@pytest.mark.parity
+@pytest.mark.parametrize(
+    "ref",
+    [r for i, r in enumerate(_ROWS) if i not in set(_QUICK_IDX)],
+    ids=[s for i, s in enumerate(_IDS) if i not in set(_QUICK_IDX)],
+)
+def test_grid_cell_parity_full(aa_pipeline, ref):
+    _check_cell(aa_pipeline, ref)
