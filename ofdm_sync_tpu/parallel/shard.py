@@ -1473,3 +1473,221 @@ def shard_batch(x: jax.Array, mesh: Mesh, axis: int = 0) -> jax.Array:
     spec = [None] * x.ndim
     spec[axis] = "data"
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+# ---------------------------------------------------------------------------
+# Sharded device-side frame re-emission (the R4 output contract, multi-chip)
+# ---------------------------------------------------------------------------
+
+def _extract_local_frames(blk, table, *, shard_start, stream_len,
+                          frame_len, timing_offset, max_frames):
+    """One seq shard's contribution to every frame window.
+
+    blk: this shard's (C, B_loc, block) slice of the stream; table fields
+    (B_loc, E) with GLOBAL indices (the merged table is replicated over
+    'seq').  Each output position of a window is held by exactly one seq
+    shard, so contributions assemble with a single psum: the local block is
+    zero-padded by frame_len on both sides and dynamically sliced at the
+    clipped local offset -- positions outside this shard's span read the
+    zero padding, never real samples, so cross-shard sums are exact.
+    """
+    C, B_loc, block = blk.shape
+    E = table.peak_idx.shape[-1]
+    K = min(max_frames, E)
+    F = frame_len
+    slot = jnp.arange(K, dtype=jnp.int32)
+    valid = table.valid[:, :K] & (slot[None, :] < table.count[:, None])
+    starts = jnp.clip(
+        table.peak_idx[:, :K] + jnp.int32(timing_offset),
+        0,
+        max(stream_len - F, 0),
+    ).astype(jnp.int32)  # (B_loc, K) global window starts
+
+    padded = jnp.pad(blk, ((0, 0), (0, 0), (F, F)))  # (C, B_loc, block+2F)
+    # local slice offset into the padded block: in [0, block + F] always
+    off = jnp.clip(starts - shard_start, -F, block) + F
+
+    def one_stream(pb, offs, oks):
+        # pb: (C, block+2F); offs/oks: (K,)
+        def one_slot(o, ok):
+            win = jax.lax.dynamic_slice_in_dim(pb, o, F, axis=-1)
+            return jnp.where(ok, win, jnp.zeros_like(win))
+
+        return jax.vmap(one_slot)(offs, oks)  # (K, C, F)
+
+    frames = jax.vmap(one_stream, in_axes=(1, 0, 0))(padded, off, valid)
+    if K < max_frames:
+        pad_n = max_frames - K
+        frames = jnp.concatenate(
+            [frames, jnp.zeros((B_loc, pad_n, C, F), frames.dtype)], axis=1
+        )
+        starts = jnp.concatenate(
+            [starts, jnp.zeros((B_loc, pad_n), jnp.int32)], axis=1
+        )
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((B_loc, pad_n), bool)], axis=1
+        )
+    return frames, starts, valid
+
+
+def sharded_extract_frames(
+    iq: jax.Array,
+    table,
+    mesh: Mesh,
+    *,
+    frame_len: int,
+    timing_offset: int = 0,
+    max_frames: int = 4,
+):
+    """Device-side aligned frame re-emission on the SHARDED stream -- the
+    RTL detector's output contract (circular buffer + timer queue,
+    reference ref/minn_preamble_detector.sv:103-180, 445-530) completing
+    the production multi-chip path: detect AND re-emit without ever
+    materializing the stream on one chip.
+
+    iq: (C, batch, L) channel-leading float32 (batch over 'data', L over
+    'seq' -- the same layout the sharded detect paths consume); table: the
+    merged `GateEvents` those paths return (fields (batch, E), batch over
+    'data', replicated over 'seq').  Each window [start, start+frame_len)
+    may span seq-shard seams: every shard contributes exactly the samples
+    it holds (zero elsewhere) and one `psum` over 'seq' assembles the full
+    windows -- no all_gather of the stream.
+
+    Returns `(frames, starts, valid)` matching
+    `ops.extract.extract_frames_batched` exactly: frames
+    ``(batch, max_frames, C, frame_len)`` float32 (batch over 'data',
+    replicated over 'seq'), zero where invalid.
+    """
+    C, batch, L = iq.shape
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if L % n_seq or batch % n_data:
+        raise ValueError("batch/stream dims not divisible by mesh axes")
+    block = L // n_seq
+
+    def shard_fn(blk, valid_t, count_t, peak_t):
+        sidx = jax.lax.axis_index("seq")
+        from ofdm_sync_tpu.ops.detect import GateEvents
+
+        tb = GateEvents(
+            valid=valid_t, closed=valid_t, gate_start=peak_t,
+            gate_close=peak_t, peak_idx=peak_t,
+            peak_value=jnp.zeros_like(peak_t, jnp.float32),
+            count=count_t, overflow=jnp.zeros_like(count_t, bool),
+        )
+        frames, starts, valid = _extract_local_frames(
+            blk, tb, shard_start=sidx * block, stream_len=L,
+            frame_len=frame_len, timing_offset=timing_offset,
+            max_frames=max_frames,
+        )
+        frames = jax.lax.psum(frames, "seq")
+        return frames, starts, valid
+
+    rep = P("data")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, "data", "seq"), rep, rep, rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return fn(iq, table.valid, table.count, table.peak_idx)
+
+
+def sharded_extract_frames_tm(
+    x_tiled: jax.Array,
+    table,
+    mesh: Mesh,
+    *,
+    frame_len: int,
+    stream_len: int,
+    channels: int = 4,
+    rows: int = 8192,
+    batch: int | None = None,
+    timing_offset: int = 0,
+    max_frames: int = 4,
+):
+    """Frame re-emission from the TIME-MAJOR tiled stream buffer (the
+    flagship sharded layout of `sharded_minn_rtl_detect_fused_tm`).
+
+    x_tiled: (G, NT, C*rows, 128) float32 or int16, groups over 'data',
+    time blocks over 'seq'; table: the merged GateEvents from the TM
+    sharded detect ((G*128, E) fields, batch over 'data').  Each shard
+    re-lays ONLY its local block to channel-leading (a local transpose --
+    emission is not the hot loop) and contributes its window overlaps; one
+    psum over 'seq' assembles the windows.  Returns (frames, starts,
+    valid) with frames ``(G*128, max_frames, C, frame_len)`` float32
+    (sliced to `batch` when given), equal to extracting from the
+    unsharded stream.
+    """
+    from ofdm_sync_tpu.kernels.pallas_tm_common import LANES
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    C = channels
+    R = rows
+    G, NT, CR, lanes = x_tiled.shape
+    if CR != C * R or lanes != LANES:
+        raise ValueError(
+            f"x_tiled must be (G, NT, {C}*{R}, {LANES}); got {x_tiled.shape}"
+        )
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if NT % n_seq or G % n_data:
+        raise ValueError("G/NT not divisible by mesh (data, seq) axes")
+    NT_loc = NT // n_seq
+    block = NT_loc * R
+    L = stream_len
+
+    def shard_fn(blk, valid_t, count_t, peak_t):
+        # blk: (G_loc, NT_loc, C*R, LANES) -> channel-leading
+        # (C, G_loc*LANES, block), padding rows past L stay (they are
+        # zeros by the tiled-buffer contract and windows are clipped to L)
+        G_loc = blk.shape[0]
+        cl = (
+            blk.astype(jnp.float32)
+            .reshape(G_loc, NT_loc, C, R, LANES)
+            .transpose(2, 0, 4, 1, 3)
+            .reshape(C, G_loc * LANES, block)
+        )
+        sidx = jax.lax.axis_index("seq")
+        tb = GateEvents(
+            valid=valid_t, closed=valid_t, gate_start=peak_t,
+            gate_close=peak_t, peak_idx=peak_t,
+            peak_value=jnp.zeros_like(peak_t, jnp.float32),
+            count=count_t, overflow=jnp.zeros_like(count_t, bool),
+        )
+        frames, starts, valid = _extract_local_frames(
+            cl, tb, shard_start=sidx * block, stream_len=L,
+            frame_len=frame_len, timing_offset=timing_offset,
+            max_frames=max_frames,
+        )
+        frames = jax.lax.psum(frames, "seq")
+        return frames, starts, valid
+
+    rep = P("data")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data", "seq", None, None), rep, rep, rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    # the sharded TM detect slices its table to `batch`; pad back to the
+    # full lane width (padding lanes have no valid events)
+    tv, tc, tp = table.valid, table.count, table.peak_idx
+    full = G * LANES
+    if tv.shape[0] < full:
+        pad_n = full - tv.shape[0]
+        tv = jnp.concatenate(
+            [tv, jnp.zeros((pad_n,) + tv.shape[1:], tv.dtype)]
+        )
+        tc = jnp.concatenate([tc, jnp.zeros((pad_n,), tc.dtype)])
+        tp = jnp.concatenate(
+            [tp, jnp.zeros((pad_n,) + tp.shape[1:], tp.dtype)]
+        )
+    frames, starts, valid = fn(x_tiled, tv, tc, tp)
+    if batch is not None and batch < full:
+        frames, starts, valid = (
+            frames[:batch], starts[:batch], valid[:batch]
+        )
+    return frames, starts, valid
