@@ -79,8 +79,8 @@ def part_real_chip() -> dict:
         make_stream_mesh, sharded_minn_rtl_detect_fused_tm,
     )
 
-    batch, L = 128, 1 << 18          # G=1 group of 128 streams
-    G, NT = batch // LANES, L // ROWS
+    batch, L = 512, 1 << 18          # the bench.py headline workload (2 GB
+    G, NT = batch // LANES, L // ROWS  # dispatches amortize tunnel latency)
     x = jax.jit(
         lambda k: jax.random.normal(k, (G, NT, C * ROWS, LANES), jnp.float32)
     )(jax.random.key(0))
@@ -99,19 +99,21 @@ def part_real_chip() -> dict:
         ).count
     )
 
-    def timeit(fn):
-        int(np.asarray(fn(x)).sum())
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(4):
-                out = fn(x)
-            int(np.asarray(out).sum())
-            best = min(best, time.perf_counter() - t0)
-        return batch * L * 4 / best
+    def window(fn, iters=4):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        int(np.asarray(out).sum())
+        return batch * L * iters / (time.perf_counter() - t0)
 
-    sps_base = timeit(base)
-    sps_shrd = timeit(shrd)
+    # warm both, then INTERLEAVE the A/B windows (the tunnel has slow/fast
+    # phases ~2x apart; sequential groups would bias the ratio)
+    int(np.asarray(base(x)).sum())
+    int(np.asarray(shrd(x)).sum())
+    sps_base = sps_shrd = 0.0
+    for _ in range(3):
+        sps_base = max(sps_base, window(base))
+        sps_shrd = max(sps_shrd, window(shrd))
     return {
         "platform": "tpu",
         "kernel": "pallas_minn_tm (flagship time-major)",
@@ -247,7 +249,8 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
     int16 on the wire, verified bit-identical in part (b)).
     """
     batch, L = 512, 1 << 18
-    W = cpu_part.get("halo_width_samples", 1794)
+    # the PRODUCTION halo width (Q=512), NOT the CPU test's small-Q width
+    W = _halo_width()
     t_comp = batch * L / SINGLE_CHIP_SPS
 
     # collective rounds counted from HLO for the (1,8) mesh: one halo
@@ -308,33 +311,45 @@ def main() -> None:
         print(json.dumps(part_cpu_mesh()))
         return
 
-    # subprocess for the CPU-mesh part (device count must be set pre-init)
-    env = dict(os.environ, OFDM_SCALING_ROLE="cpu8")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        capture_output=True, text=True, env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-        timeout=3600,
-    )
-    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-    if not lines:
-        print("cpu8 subprocess failed:", proc.stdout[-2000:],
-              proc.stderr[-2000:], file=sys.stderr)
-        raise SystemExit(1)
-    cpu_part = json.loads(lines[-1])
+    out_path = Path(__file__).parent / "SCALING_r03.json"
+    cpu_part = None
+    if os.environ.get("OFDM_SCALING_REUSE_CPU") == "1" and out_path.exists():
+        # reuse the committed CPU-mesh equality/HLO results (they are
+        # deterministic); only re-measure the real chip + projections
+        cpu_part = json.loads(out_path.read_text()).get("cpu_mesh")
+    if cpu_part is None:
+        # subprocess for the CPU-mesh part (device count must be set pre-init)
+        env = dict(os.environ, OFDM_SCALING_ROLE="cpu8")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            timeout=3600,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            print("cpu8 subprocess failed:", proc.stdout[-2000:],
+                  proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(1)
+        cpu_part = json.loads(lines[-1])
 
     result = {"cpu_mesh": cpu_part}
-    try:
-        import jax
+    real_prev = None
+    if os.environ.get("OFDM_SCALING_REUSE_REAL") == "1" and out_path.exists():
+        real_prev = json.loads(out_path.read_text()).get("real_chip")
+    if real_prev and "shard_overhead_ratio" in real_prev:
+        result["real_chip"] = real_prev
+    else:
+        try:
+            import jax
 
-        if jax.devices()[0].platform == "tpu":
-            result["real_chip"] = part_real_chip()
-    except Exception as e:  # pragma: no cover
-        result["real_chip"] = {"error": f"{type(e).__name__}: {e}"}
+            if jax.devices()[0].platform == "tpu":
+                result["real_chip"] = part_real_chip()
+        except Exception as e:  # pragma: no cover
+            result["real_chip"] = {"error": f"{type(e).__name__}: {e}"}
     overhead = result.get("real_chip", {}).get("shard_overhead_ratio", 1.05)
     result["projection"] = projection(cpu_part, overhead_ratio=overhead)
 
-    out_path = Path(__file__).parent / "SCALING_r03.json"
     out_path.write_text(json.dumps(result, indent=1))
     proj = result["projection"]
     print(json.dumps({
