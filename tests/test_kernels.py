@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -112,6 +113,7 @@ def test_minn_rtl_detect_planar_events(rng):
     assert abs(peak - (300 + 5 * 64 + 64)) <= 16
 
 
+@pytest.mark.slow
 def test_minn_rtl_planar_vmap(rng):
     """The fast path vmaps over a stream batch (the bench configuration)."""
     B = 4

@@ -75,6 +75,7 @@ def test_park_banded_selfconv_exact(rng, half):
         assert abs(got[d] - want) < 1e-5 * scale, d
 
 
+@pytest.mark.slow
 def test_park_banded_selfconv_batched(rng):
     """Leading batch axes broadcast through the banded path (the batched
     grid-sweep form)."""

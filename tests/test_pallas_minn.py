@@ -43,9 +43,11 @@ def _compare_states(ref, out, atol_scale=2e-5):
     "batch,Q,L,block,batch_tile",
     [
         (3, 16, 1000, 512, 2),     # batch + length padding, tiny Q
-        (1, 512, 9000, 4096, 8),   # flagship Q, one stream
+        pytest.param(1, 512, 9000, 4096, 8,   # flagship Q, one stream
+                     marks=pytest.mark.slow),
         (2, 24, 700, 256, 8),      # non-power-of-two Q
-        (9, 32, 2048, 1024, 8),    # batch not divisible by tile
+        pytest.param(9, 32, 2048, 1024, 8,    # batch not divisible by tile
+                     marks=pytest.mark.slow),
     ],
 )
 def test_pallas_metric_matches_xla(rng, batch, Q, L, block, batch_tile):
@@ -123,7 +125,9 @@ def _assert_tables_equal(ref, out):
 
 
 @pytest.mark.parametrize(
-    "h,E,tie,emit", [(2, 8, "last", False), (5, 4, "first", True)]
+    "h,E,tie,emit",
+    [pytest.param(2, 8, "last", False, marks=pytest.mark.slow),
+     (5, 4, "first", True)],
 )
 def test_fused_detect_matches_two_stage(rng, h, E, tie, emit):
     """Fused in-kernel gate FSM == metric kernel + extract_gate_events."""

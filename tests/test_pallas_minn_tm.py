@@ -70,7 +70,11 @@ def test_roundtrip_layout(rng):
     np.testing.assert_array_equal(back[:, :7, :1100], x)
 
 
-@pytest.mark.parametrize("tie,emit,h", [("last", False, 2), ("first", True, 5)])
+@pytest.mark.parametrize(
+    "tie,emit,h",
+    [("last", False, 2),
+     pytest.param("first", True, 5, marks=pytest.mark.slow)],
+)
 def test_tm_matches_lane_major_events(rng, tie, emit, h):
     """Events spanning block boundaries, multiple gates, noise floor."""
     batch, L = 6, 4 * R - 100

@@ -4,6 +4,7 @@ Reference behavior: zc_v2.py:288-336 (CFAR threshold), 360-450 (gate FSM),
 567-576 (strongest-event selection)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -72,6 +73,7 @@ def test_zc_detector_fused_path_matches_detect(rng):
     assert s_out.peak_index == s_ref.peak_index
 
 
+@pytest.mark.slow
 def test_zc_cfar_kernel_batched_multi_preamble(rng):
     det = _small_detector()
     ref = det.reference_waveform()
@@ -220,6 +222,7 @@ def test_zc_iq_tm_kernel_matches_xla(rng):
     )
 
 
+@pytest.mark.slow
 def test_zc_iq_tm_kernel_batched_matches_lane_major(rng):
     """TM from-IQ kernel == the lane-major from-IQ kernel on a batch with
     multiple preambles per stream (events in different time blocks)."""

@@ -87,7 +87,10 @@ def test_sharded_detect_emit_unclosed(rng):
     assert int(t_open.count[0]) == 1 and not bool(t_open.closed[0, 0])
 
 
-@pytest.mark.parametrize("boundary", [False, True])
+@pytest.mark.parametrize(
+    "boundary",
+    [pytest.param(False, marks=pytest.mark.slow), True],
+)
 def test_sharded_fused_detect_equals_unsharded(rng, boundary):
     """The production multi-chip path: per-shard fused Pallas metric kernel
     (interpret mode on the CPU mesh) + cross-shard smoothing carry + event

@@ -172,6 +172,7 @@ def test_shard_batch_data_axis(mesh):
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_distributed_bootstrap_single_process():
     """Single-process path: initialize() is a no-op, the global mesh covers
     the virtual device pool, and a sharded detector runs on it."""

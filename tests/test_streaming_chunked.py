@@ -55,7 +55,12 @@ def _run_chunked(iq, splits):
     return minn_rtl_stream_finalize(state, params=PARAMS)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize(
+    "seed",
+    [0,
+     pytest.param(1, marks=pytest.mark.slow),
+     pytest.param(2, marks=pytest.mark.slow)],
+)
 def test_chunked_equals_oneshot_random_splits(seed):
     rng = np.random.default_rng(seed)
     iq = _make_stream(rng)
