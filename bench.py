@@ -383,9 +383,57 @@ def _secondary_kernels(batch: int, stream_len: int) -> None:
             out = fz(xm)
         int(np.asarray(out.count).sum())
         zc_sps = batch * stream_len * 5 / (time.perf_counter() - t0)
+        del x, xm, out
+
+        # TM from-IQ ZC kernel (two tiled stream buffers; its floor is the
+        # two-buffer DMA rate -- see tools/perf_probe{8,9,10}.py)
+        from ofdm_sync_tpu.kernels.pallas_zc_tm import (
+            LANES as _LANES, zc_iq_cfar_detect_tm,
+        )
+
+        RF = 2048
+        zrows = 8192  # fastest measured block height (tools/perf_probe11)
+        Lc = stream_len + RF - 1
+        G, NT = batch // _LANES, -(-Lc // zrows)
+
+        def gen_tiled(key, live_rows):
+            # padding rows past the true length must be zero (kernel
+            # contract) in the LAST time block of EACH group
+            live = (jnp.arange(zrows) < live_rows)[None, None, :, None]
+            mask = jnp.tile(live, (1, 1, 2 * BRANCHES, 1)).reshape(
+                1, 1, 2 * BRANCHES * zrows, 1
+            )
+
+            def f(k):
+                v = jax.random.normal(
+                    k, (G, NT, 2 * BRANCHES * zrows, _LANES), jnp.float32
+                )
+                last = v[:, -1:] * mask.astype(jnp.float32)
+                return jnp.concatenate(
+                    [v[:, : NT - 1], last], axis=1
+                ).reshape(G * NT, 2 * BRANCHES * zrows, _LANES)
+
+            return jax.jit(f)(jax.random.key(key))
+
+        mft = gen_tiled(3, Lc - (NT - 1) * zrows)
+        iqt = gen_tiled(4, max(stream_len - (NT - 1) * zrows, 0))
+        jax.block_until_ready((mft, iqt))
+        fq = jax.jit(
+            lambda m, q: zc_iq_cfar_detect_tm(
+                m, q, ref_len=RF, ref_norm=float(np.sqrt(RF)),
+                stream_len=Lc, batch=batch, rows=zrows,
+            ).count
+        )
+        int(np.asarray(fq(mft, iqt)).sum())
+        t0 = time.perf_counter()
+        for _ in range(4):
+            outq = fq(mft, iqt)
+        int(np.asarray(outq).sum())
+        zc_iq_sps = batch * stream_len * 4 / (time.perf_counter() - t0)
         print(
             f"bench secondary: aa_fused={aa_sps / 1e6:.0f}M samples/s "
-            f"zc_cfar={zc_sps / 1e6:.0f}M samples/s",
+            f"zc_cfar={zc_sps / 1e6:.0f}M samples/s "
+            f"zc_iq_tm={zc_iq_sps / 1e6:.0f}M samples/s",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover
