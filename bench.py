@@ -137,15 +137,25 @@ def _run_lane_major(batch: int, stream_len: int, iters: int,
     return batch * stream_len * iters / dt, dt
 
 
-def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096) -> float:
+def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096):
     """True 4096-pt-block detection latency: p50 of per-chunk wall time of
-    the carried-state streaming step (`minn_rtl_stream_step`), fetch-synced
-    per chunk -- the latency a live receiver sees per block, not an
-    amortized long-stream number (BASELINE.md primary metric)."""
+    the carried-state streaming step, fetch-synced per chunk -- the latency
+    a live receiver sees per block, not an amortized long-stream number
+    (BASELINE.md primary metric).  Two paths:
+
+      * XLA step (`minn_rtl_stream_step`): dozens of small array ops.
+      * FUSED step (`minn_rtl_fused_stream_step`): ONE Pallas dispatch per
+        chunk with kernel-emitted carried state.
+
+    For each, also an ON-CHIP per-chunk figure from the same steps chained
+    in a lax.scan inside one dispatch (amortizing the tunnel's
+    dispatch+fetch RTT, which dominates the per-chunk p50 here)."""
     import jax
     import jax.numpy as jnp
     from ofdm_sync_tpu.kernels.streaming_chunked import (
-        MinnRTLStreamParams, minn_rtl_stream_init, minn_rtl_stream_step,
+        MinnRTLStreamParams, minn_rtl_fused_stream_init,
+        minn_rtl_fused_stream_step, minn_rtl_stream_init,
+        minn_rtl_stream_step,
     )
 
     params = MinnRTLStreamParams(
@@ -156,43 +166,66 @@ def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096) -> float:
         lambda k: jax.random.normal(k, (BRANCHES, 2, chunk), jnp.float32)
     )(jax.random.key(3))
     xs.block_until_ready()
-    state = minn_rtl_stream_init(params, BRANCHES)
-    step = jax.jit(
-        lambda s, c: minn_rtl_stream_step(s, c, params=params)
-    )
-    state = step(state, xs)  # compile
-    float(np.asarray(state.smooth))
-    lats = []
-    for _ in range(n_chunks):
-        t0 = time.perf_counter()
-        state = step(state, xs)
-        float(np.asarray(state.smooth))  # fetch-sync each chunk
-        lats.append(time.perf_counter() - t0)
-    p50_ms = sorted(lats)[len(lats) // 2] * 1e3
 
-    # ON-CHIP per-chunk latency: chain the same carried-state steps in a
-    # lax.scan inside ONE dispatch, so the tunnel's dispatch+fetch round
-    # trip (the dominant cost of the per-chunk p50 above) is amortized out
-    import jax.numpy as jnp
+    def measure(state, step, x, sync):
+        state = step(state, x)  # compile
+        sync(state)
+        lats = []
+        for _ in range(n_chunks):
+            t0 = time.perf_counter()
+            state = step(state, x)
+            sync(state)  # fetch-sync each chunk
+            lats.append(time.perf_counter() - t0)
+        p50_ms = sorted(lats)[len(lats) // 2] * 1e3
 
-    K = 64
-    xk = jnp.broadcast_to(xs, (K,) + xs.shape)
-    scan_fn = jax.jit(
-        lambda s, cs: jax.lax.scan(
-            lambda st, c: (minn_rtl_stream_step(st, c, params=params), None),
-            s, cs,
-        )[0]
+        # ON-CHIP per-chunk cost = the MARGINAL wall time per extra scan
+        # iteration between two scan lengths.  (Dividing one scan's wall by
+        # K -- the round-2 method -- just reports tunnel-RTT/K: a no-op
+        # kernel 'measures' ~480us at K=64 that way.)
+        def scan_wall(K):
+            xk = jnp.broadcast_to(x, (K,) + x.shape)
+            scan_fn = jax.jit(
+                lambda s, cs: jax.lax.scan(
+                    lambda st, c: (step(st, c), None), s, cs
+                )[0]
+            )
+            st = scan_fn(state, xk)
+            sync(st)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                st = scan_fn(state, xk)
+                sync(st)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        K1, K2 = 64, 320
+        onchip_us = max(
+            (scan_wall(K2) - scan_wall(K1)) / (K2 - K1) * 1e6, 0.0
+        )
+        return p50_ms, onchip_us
+
+    # XLA path
+    step_x = jax.jit(lambda s, c: minn_rtl_stream_step(s, c, params=params))
+    p50_ms, onchip_us = measure(
+        minn_rtl_stream_init(params, BRANCHES), step_x, xs,
+        lambda s: float(np.asarray(s.smooth)),
     )
-    st = scan_fn(state, xk)
-    float(np.asarray(st.smooth))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        st = scan_fn(state, xk)
-        float(np.asarray(st.smooth))
-        best = min(best, time.perf_counter() - t0)
-    onchip_us = best / K * 1e6
-    return p50_ms, onchip_us
+
+    if jax.devices()[0].platform != "tpu":
+        # the fused step would run the Pallas interpreter 100+ times here
+        return p50_ms, onchip_us
+
+    # FUSED path: channel-leading (C, 1, chunk), ONE kernel dispatch/step
+    xf = xs.reshape(2 * BRANCHES, 1, chunk)
+    step_f = jax.jit(
+        lambda s, c: minn_rtl_fused_stream_step(s, c, params=params)[0]
+    )
+    p50f_ms, onchipf_us = measure(
+        minn_rtl_fused_stream_init(params, batch=1), step_f, xf,
+        lambda s: float(np.asarray(s.carry).sum()),
+    )
+    return p50_ms, onchip_us, p50f_ms, onchipf_us
 
 
 def _watchdog_env() -> dict:
@@ -246,7 +279,8 @@ def _watchdog_subprocess(expr: str, marker: str, timeout_s: int,
         for line in proc.stdout.splitlines():
             if line.startswith(marker):
                 parts = line.split()
-                return float(parts[1]), float(parts[2])
+                vals = tuple(float(p) for p in parts[1:])
+                return vals if len(vals) > 2 else (vals[0], vals[1])
         last = RuntimeError(
             f"{marker} subprocess rc={proc.returncode}: {proc.stderr[-500:]}"
         )
@@ -273,7 +307,8 @@ def _latency_subprocess(timeout_s: int = 560):
     on the latency detail).  Same 560 s class as the TM watchdog -- the
     stream-step + scan compiles have blown a 300 s budget in driver runs."""
     return _watchdog_subprocess(
-        "p50, oc = bench._block_latency_p50(); print('LAT_RESULT', p50, oc)",
+        "vals = bench._block_latency_p50(); "
+        "print('LAT_RESULT', *vals)",
         "LAT_RESULT", timeout_s,
     )
 
@@ -325,11 +360,16 @@ def main() -> None:
         )
     )
     try:
-        lat_ms, onchip_us = _latency_subprocess()
+        vals = _latency_subprocess()
+        lat_ms, onchip_us = vals[0], vals[1]
         lat_note = (f"4096-pt block latency p50={lat_ms:.2f}ms through the "
                     f"tunnel (fetch-synced per chunk; dispatch+fetch RTT "
                     f"dominated), {onchip_us:.1f}us/chunk on-chip "
                     f"(scan-chained carried-state steps)")
+        if len(vals) >= 4:
+            lat_note += (f"; FUSED single-dispatch step: p50={vals[2]:.2f}ms"
+                         f" through the tunnel, {vals[3]:.1f}us/chunk "
+                         f"on-chip")
     except Exception as e:  # pragma: no cover
         lat_note = f"block latency skipped ({type(e).__name__}: {e})"
     print(

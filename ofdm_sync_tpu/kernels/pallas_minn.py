@@ -419,6 +419,7 @@ def _detect_kernel(
     L_global: int | None = None,
     with_base: bool = False,
     with_init: bool = False,
+    emit_state: bool = False,
 ):
     """Fused metric + gate/hysteresis/peak FSM (reference
     ref/minn_preamble_detector.sv:337-384, minn_rtl.py:750-825).
@@ -455,9 +456,15 @@ def _detect_kernel(
     if with_init:
         hist_init_ref, carry_init_ref, gate_init_ref = refs[i : i + 3]
         i += 3
-    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
-     meta_ref, hist_ref, carry_ref, dec_ref, gate_ref, tstart_ref,
-     tlast_ref, tpidx_ref, tpval_ref) = refs[i:]
+    if emit_state:
+        (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+         meta_ref, carry_out_ref, gate_out_ref, hist_ref, carry_ref,
+         dec_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref,
+         tpval_ref) = refs[i:]
+    else:
+        (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+         meta_ref, hist_ref, carry_ref, dec_ref, gate_ref, tstart_ref,
+         tlast_ref, tpidx_ref, tpval_ref) = refs[i:]
     it = pl.program_id(1)
     ib = pl.program_id(0)
     Lg = L_true if L_global is None else L_global
@@ -534,6 +541,14 @@ def _detect_kernel(
     # the final step's write reaches HBM -- skip the finalize math elsewhere.
     @pl.when(it == pl.num_programs(1) - 1)
     def _():
+        if emit_state:
+            # carried streaming state OUT (kernel-exact, no XLA re-derive):
+            # smoothing IIR value at the final true sample + the gate FSM
+            # carry (lane 0 = last-above global index, lane 1 = cluster
+            # count).  event_finalize mutates nothing these read, but write
+            # first anyway to keep the contract order-independent.
+            carry_out_ref[...] = carry_ref[...]
+            gate_out_ref[...] = gate_ref[...]
         common.event_finalize(
             valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
             meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
@@ -558,6 +573,7 @@ def _detect_kernel(
         "channel_leading",
         "interpret",
         "stream_len_global",
+        "emit_state",
     ),
 )
 def minn_rtl_detect_fused_pallas(
@@ -578,6 +594,7 @@ def minn_rtl_detect_fused_pallas(
     base_index: jax.Array | None = None,
     stream_len_global: int | None = None,
     shard_init: tuple | None = None,
+    emit_state: bool = False,
 ):
     """Fully-fused Minn-RTL detection: IQ in, GateEvents out, nothing else
     touches HBM.  Semantically identical to `minn_rtl_metric_planar_pallas`
@@ -596,6 +613,17 @@ def minn_rtl_detect_fused_pallas(
     streaming scratch at grid step 0, so a seq shard starts exactly where
     its left neighbor ended without concatenating halo+stream in HBM (see
     `parallel.shard.sharded_minn_rtl_detect_fused`).
+
+    Streaming mode (`emit_state=True`, requires L % block == 0): two extra
+    outputs are returned -- carry_out (batch_padded, LANE) f32, the
+    smoothing IIR value at the final sample (lane-broadcast), and gate_out
+    (batch_padded, LANE) i32, the gate FSM carry (lane 0 = last-above
+    global index, lane 1 = cluster count).  Together with the chunk's own
+    trailing 3Q samples these prime the NEXT chunk via `shard_init`, so a
+    live receiver runs ONE kernel dispatch per chunk with kernel-exact
+    state continuity (no XLA re-derivation; see
+    `kernels.streaming_chunked.minn_rtl_stream_step_fused`).  Returns
+    ``(GateEvents, (carry_out, gate_out))`` in this mode.
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 
@@ -645,7 +673,14 @@ def minn_rtl_detect_fused_pallas(
         L_global=stream_len_global,
         with_base=with_base,
         with_init=with_init,
+        emit_state=emit_state,
     )
+    if emit_state and Lp != L:
+        raise ValueError(
+            f"emit_state requires stream_len % block == 0 (the carried "
+            f"smoothing state must end on a true sample); got L={L}, "
+            f"block={B}"
+        )
     i32 = jnp.int32
     out_shape = [
         jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),   # valid
@@ -656,6 +691,11 @@ def minn_rtl_detect_fused_pallas(
         jax.ShapeDtypeStruct((Np, _LANE), jnp.float32), # peak_value
         jax.ShapeDtypeStruct((Np, _LANE), i32),         # meta: count, overflow
     ]
+    if emit_state:
+        out_shape += [
+            jax.ShapeDtypeStruct((Np, _LANE), jnp.float32),  # carry_out
+            jax.ShapeDtypeStruct((Np, _LANE), i32),          # gate_out
+        ]
     ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
     in_specs = [pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))]
     operands = [x]
@@ -688,7 +728,7 @@ def minn_rtl_detect_fused_pallas(
         kernel,
         grid=(Np // NB, Lp // B),
         in_specs=in_specs,
-        out_specs=[ev_spec] * 7,
+        out_specs=[ev_spec] * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((C, NB, H), jnp.float32),     # IQ history
@@ -708,7 +748,7 @@ def minn_rtl_detect_fused_pallas(
         interpret=interpret,
     )(*operands)
     valid, closed, gate_start, gate_close, peak_idx, peak_val, meta = [
-        o[:batch] for o in outs
+        o[:batch] for o in outs[:7]
     ]
     E = max_events
     table = GateEvents(
@@ -723,6 +763,12 @@ def minn_rtl_detect_fused_pallas(
     )
     if squeeze:
         table = jax.tree.map(lambda a: a[0], table)
+    if emit_state:
+        carry_out = outs[7][:batch, 0]          # (batch,) smooth at end
+        gate_out = outs[8][:batch, :2]          # (batch, 2) [la, count]
+        if squeeze:
+            carry_out, gate_out = carry_out[0], gate_out[0]
+        return table, (carry_out, gate_out)
     return table
 
 

@@ -261,3 +261,161 @@ def minn_rtl_stream_finalize(
         count=jnp.sum(valid.astype(jnp.int32)),
         overflow=state.gate_count > E,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel streaming: ONE Pallas dispatch per chunk, kernel-exact carry
+# ---------------------------------------------------------------------------
+
+class MinnRTLFusedStreamState(NamedTuple):
+    """Carried state of the fused-kernel streaming receiver (a pytree).
+
+    Unlike `MinnRTLStreamState` (the XLA path, which re-derives its carries
+    with array ops), this state is EMITTED BY THE KERNEL itself
+    (`pallas_minn.minn_rtl_detect_fused_pallas(emit_state=True)`), so chunk
+    boundaries are bit-exact continuations of the kernel's own arithmetic --
+    the float-association caveat of XLA-primed state does not apply.  Each
+    step costs ONE kernel dispatch (the latency path BASELINE.md names).
+    """
+
+    hist: jax.Array    # (C, batch, H) channel-leading planar IQ tail
+    carry: jax.Array   # (batch,) f32 -- smoothing register at chunk end
+    gate: jax.Array    # (batch, 2) i32 -- [last-above global index, flag]
+    base: jax.Array    # () i32 -- global index of the next sample
+
+
+def minn_rtl_fused_stream_init(
+    params: MinnRTLStreamParams, batch: int, branches: int = 2
+) -> MinnRTLFusedStreamState:
+    Q = params.quarter_len
+    H = max(((3 * Q + 127) // 128) * 128, 128)
+    C = 2 * branches
+    return MinnRTLFusedStreamState(
+        hist=jnp.zeros((C, batch, H), jnp.float32),
+        carry=jnp.zeros((batch,), jnp.float32),
+        gate=jnp.concatenate(
+            [jnp.full((batch, 1), -1, jnp.int32),
+             jnp.zeros((batch, 1), jnp.int32)], axis=1,
+        ),
+        base=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "emit_unclosed"))
+def minn_rtl_fused_stream_step(
+    state: MinnRTLFusedStreamState,
+    chunk: jax.Array,
+    *,
+    params: MinnRTLStreamParams,
+    emit_unclosed: bool = True,
+):
+    """Process one chunk through the FUSED detect kernel (one dispatch).
+
+    chunk: (C, batch, chunk_len) channel-leading planar float32,
+    chunk_len a multiple of 128.  Returns ``(new_state, GateEvents)`` --
+    the chunk's OWN event table with GLOBAL indices (fresh per chunk;
+    capacity-bounded like the RTL's timer queue).  A gate still open at
+    the chunk edge surfaces as an unclosed event (when `emit_unclosed`)
+    and the next chunk continues it via the primed gate carry; stitch
+    per-chunk tables with `stitch_chunk_tables` (gap <= h rule, the same
+    seam semantics as the sharded table merge).
+
+    Reference parity: the RTL consumes the same stream sample-by-sample
+    with identical state (ref/minn_preamble_detector.sv:247-384); this is
+    its chunk-granular TPU form.
+    """
+    from ofdm_sync_tpu.kernels.pallas_minn import minn_rtl_detect_fused_pallas
+
+    C, batch, Lc = chunk.shape
+    H = state.hist.shape[-1]
+    h = max(int(params.hysteresis), 1)
+    chunk = chunk.astype(jnp.float32)
+
+    # gate continuation: last-above survives iff the gap at the chunk seam
+    # is within hysteresis (same rule as _gate_init_from_tail)
+    la = state.gate[:, 0]
+    flag = ((la >= 0) & (state.base - la <= h)).astype(jnp.int32)
+    gate_init = jnp.stack([jnp.where(flag > 0, la, -1), flag], axis=1)
+
+    table, (carry_out, gate_out) = minn_rtl_detect_fused_pallas(
+        chunk,
+        quarter_len=params.quarter_len,
+        smooth_shift=params.smooth_shift,
+        threshold_value=params.threshold_value,
+        threshold_frac_bits=params.threshold_frac_bits,
+        hysteresis=params.hysteresis,
+        max_events=params.max_events,
+        tie=params.tie,
+        emit_unclosed=emit_unclosed,
+        block=Lc,
+        channel_leading=True,
+        base_index=state.base,
+        # open-ended stream: a far horizon keeps closes UNCLIPPED
+        # (close = last_above + h exactly), so the seam stitch rule
+        # `next.start <= prev.close` is the exact FSM gap test; the final
+        # event of a finite stream is clipped by `stitch_chunk_tables`'s
+        # `stream_end`
+        stream_len_global=2**31 - 2,
+        shard_init=(state.hist, state.carry, gate_init),
+        emit_state=True,
+    )
+    if Lc >= H:
+        new_hist = chunk[..., -H:]
+    else:
+        new_hist = jnp.concatenate([state.hist, chunk], axis=-1)[..., -H:]
+    new_state = MinnRTLFusedStreamState(
+        hist=new_hist,
+        carry=carry_out,
+        gate=gate_out,
+        base=state.base + Lc,
+    )
+    return new_state, table
+
+
+def stitch_chunk_tables(
+    tables, *, hysteresis: int, stream_end: int | None = None,
+    emit_unclosed: bool = False, tie_last: bool = True,
+):
+    """Host-side stitch of sequential per-chunk GateEvents into one event
+    list (NumPy dicts).  A chunk's first gate continues the previous
+    chunk's trailing gate iff ``start <= prev.close`` -- with the fused
+    stream step's UNCLIPPED closes (close = last_above + h) this is the
+    exact FSM gap test, the same closed-form cluster rule as the sharded
+    table merge (`parallel.shard._merge_shard_event_tables`).
+
+    `stream_end`: total stream length; clips the final close to the
+    one-shot kernel's semantics (close = min(last_above + h, L - 1),
+    closed iff last_above + h <= L - 1)."""
+    import numpy as np
+
+    events = []  # list of dicts, in stream order
+    for tb in tables:
+        n = int(np.asarray(tb.count))
+        for k in range(n):
+            ev = {
+                "start": int(np.asarray(tb.gate_start)[k]),
+                "close": int(np.asarray(tb.gate_close)[k]),
+                "pidx": int(np.asarray(tb.peak_idx)[k]),
+                "pval": float(np.asarray(tb.peak_value)[k]),
+            }
+            if events and ev["start"] <= events[-1]["close"]:
+                prev = events[-1]
+                better = ev["pval"] > prev["pval"] or (
+                    ev["pval"] == prev["pval"]
+                    and (ev["pidx"] > prev["pidx"] if tie_last
+                         else ev["pidx"] < prev["pidx"])
+                )
+                if better:
+                    prev["pidx"], prev["pval"] = ev["pidx"], ev["pval"]
+                prev["close"] = max(prev["close"], ev["close"])
+            else:
+                events.append(ev)
+    for ev in events:
+        ev["closed"] = (
+            True if stream_end is None else ev["close"] <= stream_end - 1
+        )
+        if stream_end is not None:
+            ev["close"] = min(ev["close"], stream_end - 1)
+    if not emit_unclosed:
+        events = [e for e in events if e["closed"]]
+    return events

@@ -1,0 +1,135 @@
+"""Fused-kernel streaming (one Pallas dispatch per chunk) == one-shot.
+
+`minn_rtl_fused_stream_step` runs the full fused detect kernel per chunk
+with KERNEL-EMITTED carried state (smoothing register + gate FSM carry +
+IQ tail), so chunk boundaries are bit-exact continuations of the kernel's
+own arithmetic.  Chunk tables stitched with the gap<=h rule must equal the
+one-shot fused kernel's table, including gates straddling chunk seams.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ofdm_sync_tpu.kernels.pallas_minn import (
+    minn_rtl_detect_fused_pallas,
+    minn_rtl_metric_planar_pallas,
+)
+from ofdm_sync_tpu.kernels.streaming import to_planar
+from ofdm_sync_tpu.kernels.streaming_chunked import (
+    MinnRTLStreamParams,
+    minn_rtl_fused_stream_init,
+    minn_rtl_fused_stream_step,
+    stitch_chunk_tables,
+)
+from ofdm_sync_tpu.ops.waveforms import build_minn_rtl_preamble
+
+Q = 32
+PARAMS = MinnRTLStreamParams(
+    quarter_len=Q, smooth_shift=3, threshold_value=3276,
+    threshold_frac_bits=15, hysteresis=2, max_events=8, tie="last",
+)
+KW = dict(
+    quarter_len=Q, smooth_shift=3, threshold_value=3276,
+    threshold_frac_bits=15, hysteresis=2, max_events=8, tie="last",
+)
+CHUNK = 1024
+L = 4 * CHUNK
+
+
+def _stream(rng, batch, positions):
+    """(C, batch, L) channel-leading planar with preambles at `positions`
+    (list per stream)."""
+    x = np.zeros((batch, 2, 2, L), np.float32)
+    for b in range(batch):
+        sig = np.zeros(L, complex)
+        for p in positions[b]:
+            pre = build_minn_rtl_preamble(
+                "qpsk_freq", rng=np.random.default_rng(b + 1), Q=Q
+            )
+            sig[p : p + 5 * Q] = pre
+        rx = np.stack([sig, 0.8 * sig])
+        rx = rx + 0.05 * (
+            rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+        )
+        x[b] = np.asarray(to_planar(jnp.asarray(rx)))
+    # (batch, 2, 2, L) -> channel-leading (C, batch, L)
+    return jnp.asarray(x.reshape(batch, 4, L).transpose(1, 0, 2))
+
+
+def _run_chunked(x):
+    C, batch, n = x.shape
+    state = minn_rtl_fused_stream_init(PARAMS, batch)
+    tables = []
+    for o in range(0, n, CHUNK):
+        state, tb = minn_rtl_fused_stream_step(
+            state, x[..., o : o + CHUNK], params=PARAMS
+        )
+        tables.append(tb)
+    return state, tables
+
+
+@pytest.mark.parametrize("seam", [False, True])
+def test_fused_stream_equals_oneshot(rng, seam):
+    batch = 3
+    if seam:
+        # preambles straddling chunk seams (peak region crosses boundary)
+        positions = [[CHUNK - 3 * Q], [2 * CHUNK - 2 * Q, 3 * CHUNK - 4 * Q],
+                     [CHUNK - Q]]
+    else:
+        positions = [[300], [900, 2600], [3500]]
+    x = _stream(rng, batch, positions)
+
+    ref = minn_rtl_detect_fused_pallas(
+        x, **KW, block=CHUNK, channel_leading=True, emit_unclosed=True,
+    )
+    state, tables = _run_chunked(x)
+    for b in range(batch):
+        got = stitch_chunk_tables(
+            [jax.tree.map(lambda a: a[b], t) for t in tables],
+            hysteresis=PARAMS.hysteresis, stream_end=L, emit_unclosed=True,
+        )
+        k = int(np.asarray(ref.count)[b])
+        assert len(got) == k, (b, got)
+        for e in range(k):
+            assert got[e]["start"] == int(np.asarray(ref.gate_start)[b, e])
+            assert got[e]["close"] == int(np.asarray(ref.gate_close)[b, e])
+            assert got[e]["pidx"] == int(np.asarray(ref.peak_idx)[b, e])
+            assert got[e]["closed"] == bool(np.asarray(ref.closed)[b, e])
+            np.testing.assert_array_equal(
+                got[e]["pval"], np.asarray(ref.peak_value)[b, e]
+            )
+
+
+def test_fused_stream_carry_bit_exact(rng):
+    """The kernel-emitted smoothing register equals the one-shot kernel's
+    final smooth value BIT-EXACTLY (same arithmetic, state via HBM)."""
+    batch = 2
+    x = _stream(rng, batch, [[500], [2000]])
+    state, _ = _run_chunked(x)
+    ref = minn_rtl_metric_planar_pallas(
+        x, quarter_len=Q, smooth_shift=3, threshold_value=3276,
+        threshold_frac_bits=15, block=CHUNK, channel_leading=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.carry), np.asarray(ref.smooth_metric)[:, -1]
+    )
+
+
+def test_fused_stream_gate_carry_quiet_tail(rng):
+    """A stream ending in silence: the carried gate stays stale (no
+    continuation into the next chunk), and a fresh preamble in a later
+    chunk becomes a separate event."""
+    batch = 1
+    x = _stream(rng, batch, [[200, 3 * CHUNK + 200]])
+    state, tables = _run_chunked(x)
+    got = stitch_chunk_tables(
+        [jax.tree.map(lambda a: a[0], t) for t in tables],
+        hysteresis=PARAMS.hysteresis, stream_end=L,
+    )
+    ref = minn_rtl_detect_fused_pallas(
+        x, **KW, block=CHUNK, channel_leading=True,
+    )
+    assert len(got) == int(np.asarray(ref.count)[0])
+    assert len(got) >= 2
