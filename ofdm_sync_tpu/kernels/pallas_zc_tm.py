@@ -94,6 +94,11 @@ def _zc_iq_tm_kernel(
 
     mf = mf_ref[0]  # (C*R, LANES)
     iq = iq_ref[0]
+    if iq.dtype != jnp.float32:
+        # int16 ADC ingest: half the IQ DMA bytes, converted in VMEM --
+        # integer-valued floats, so results are bit-identical to a
+        # pre-converted f32 buffer (same contract as pallas_minn_tm)
+        iq = iq.astype(jnp.float32)
 
     # --- per-branch sliding energy over ref_len rows -------------------
     # (reference zc_v2.py:257-271 / ops.metrics.sliding_energy_full: the
@@ -198,11 +203,13 @@ def zc_iq_cfar_detect_tm(
 ):
     """Fully-fused time-major from-IQ ZC detection on tiled stream buffers.
 
-    mf_tiled / iq_tiled: (G*NT, C*rows, 128) float32 tiled stream buffers
+    mf_tiled / iq_tiled: (G*NT, C*rows, 128) tiled stream buffers
     (see module docstring; both padded to the same correlation length
-    `stream_len` = L + ref_len - 1, padding rows zero).  Returns
-    `GateEvents` with (batch, max_events) tables — the same semantics and
-    defaults as `pallas_zc.zc_iq_cfar_detect_pallas`.
+    `stream_len` = L + ref_len - 1, padding rows zero).  mf_tiled is
+    float32; iq_tiled may be float32 **or int16** (the ADC ingest dtype:
+    half the IQ DMA bytes, converted in VMEM, bit-identical results).
+    Returns `GateEvents` with (batch, max_events) tables — the same
+    semantics and defaults as `pallas_zc.zc_iq_cfar_detect_pallas`.
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 

@@ -273,3 +273,57 @@ def test_zc_iq_tm_kernel_batched_matches_lane_major(rng):
         rtol=1e-4, atol=1e-6,
     )
 
+
+
+def test_zc_iq_tm_int16_iq_matches_f32(rng):
+    """int16 IQ tiled buffer (half the IQ DMA bytes) is bit-identical to
+    the pre-converted f32 buffer (ADC codes are integer-valued floats)."""
+    from ofdm_sync_tpu.kernels.pallas_zc_tm import (
+        to_time_tiled, zc_iq_cfar_detect_tm,
+    )
+
+    det = _small_detector()
+    rx = _stimulus(det, rng)  # (2, L) complex
+    mf_planar, iq_planar, ref_len, ref_norm = _planar_mf_iq(det, rx)
+    # quantize the IQ to int12-in-int16 codes; rebuild mf from the
+    # quantized stream so both dtypes describe the same signal
+    scale = 1024.0 / float(np.abs(iq_planar).max())
+    iq16 = np.clip(
+        np.round(np.asarray(iq_planar) * scale), -2048, 2047
+    ).astype(np.int16)
+    iq32 = iq16.astype(np.float32)
+    rx_q = (iq32[0::2] + 1j * iq32[1::2]).astype(np.complex64)
+    mf_planar, _, ref_len, ref_norm = _planar_mf_iq(det, rx_q)
+
+    rows = 1024
+    C, L = iq32.shape[0], iq32.shape[1]
+    Lc = mf_planar.shape[-1]
+    kw = dict(
+        ref_len=ref_len, ref_norm=ref_norm,
+        corr_window=det.params.corr_window,
+        threshold_value=det.params.threshold_value,
+        threshold_frac_bits=det.params.threshold_frac_bits,
+        min_corr_mag=det.params.min_corr_mag,
+        hysteresis=det.params.hysteresis,
+        max_events=det.max_events,
+        stream_len=Lc, batch=1, rows=rows,
+    )
+    mft, G, NT = to_time_tiled(
+        jnp.asarray(mf_planar, jnp.float32)[:, None, :], rows
+    )
+
+    def tile_iq(arr):
+        pad = jnp.zeros((C, 1, Lc), arr.dtype)
+        pad = pad.at[..., :L].set(jnp.asarray(arr)[:, None, :])
+        t, _, _ = to_time_tiled(pad, rows)
+        return t
+
+    out16 = zc_iq_cfar_detect_tm(mft, tile_iq(iq16), **kw)
+    out32 = zc_iq_cfar_detect_tm(mft, tile_iq(iq32), **kw)
+    assert int(np.asarray(out16.count)[0]) >= 1
+    for f in ("valid", "closed", "gate_start", "gate_close", "peak_idx",
+              "peak_value", "count", "overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out16, f)), np.asarray(getattr(out32, f)),
+            err_msg=f,
+        )
