@@ -234,6 +234,7 @@ def _aa_kernel(
     L_global: int | None = None,
     with_base: bool = False,
     with_init: bool = False,
+    emit_state: bool = False,
 ):
     """Fused [A][A] metric + gate/peak FSM with CFO capture at the peak.
 
@@ -254,9 +255,16 @@ def _aa_kernel(
     if with_init:
         hist_init_ref, gate_init_ref = refs[i : i + 2]
         i += 2
-    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
-     meta_ref, pre_ref, pim_ref, mpk_ref, hist_ref, gate_ref, tstart_ref,
-     tlast_ref, tpidx_ref, tpval_ref, spre_ref, spim_ref, sm_ref) = refs[i:]
+    if emit_state:
+        (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+         meta_ref, pre_ref, pim_ref, mpk_ref, gate_out_ref, hist_ref,
+         gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref, spre_ref,
+         spim_ref, sm_ref) = refs[i:]
+    else:
+        (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+         meta_ref, pre_ref, pim_ref, mpk_ref, hist_ref, gate_ref,
+         tstart_ref, tlast_ref, tpidx_ref, tpval_ref, spre_ref, spim_ref,
+         sm_ref) = refs[i:]
     it = pl.program_id(1)
     ib = pl.program_id(0)
     Lg = L_true if L_global is None else L_global
@@ -326,6 +334,11 @@ def _aa_kernel(
 
     @pl.when(it == pl.num_programs(1) - 1)
     def _():
+        if emit_state:
+            # gate FSM carry out (lane 0 = last-above global index,
+            # lane 1 = cluster count) -- the AA metric has no IIR, so the
+            # only other carried state is the IQ tail (the chunk itself)
+            gate_out_ref[...] = gate_ref[...]
         common.event_finalize(
             valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
             meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
@@ -349,6 +362,7 @@ def _aa_kernel(
         "channel_leading",
         "interpret",
         "stream_len_global",
+        "emit_state",
     ),
 )
 def aa_detect_fused_pallas(
@@ -367,8 +381,16 @@ def aa_detect_fused_pallas(
     base_index: jax.Array | None = None,
     stream_len_global: int | None = None,
     shard_init: tuple | None = None,
+    emit_state: bool = False,
 ):
     """Fully-fused [A][A] detection on planar float32 IQ.
+
+    Streaming mode (`emit_state=True`, requires L % block == 0): a fourth
+    return value gate_out (batch, 2) i32 [last-above global index, cluster
+    count] -- together with the chunk's own trailing 2L samples this
+    primes the NEXT chunk via `shard_init` (one kernel dispatch per chunk,
+    kernel-exact continuity; see
+    `kernels.streaming_chunked.aa_fused_stream_step`).
 
     Shard mode (used by `parallel.shard.sharded_aa_detect_fused`):
     `base_index` (dynamic int32 scalar) declares the global position of the
@@ -430,7 +452,13 @@ def aa_detect_fused_pallas(
         L_global=stream_len_global,
         with_base=with_base,
         with_init=with_init,
+        emit_state=emit_state,
     )
+    if emit_state and Lp != L_sig:
+        raise ValueError(
+            f"emit_state requires stream_len % block == 0; got L={L_sig}, "
+            f"block={B}"
+        )
     i32 = jnp.int32
     f32 = jnp.float32
     out_shape = [
@@ -445,6 +473,8 @@ def aa_detect_fused_pallas(
         jax.ShapeDtypeStruct((Np, _LANE), f32),        # P_im at peak
         jax.ShapeDtypeStruct((Np, _LANE), f32),        # M at peak
     ]
+    if emit_state:
+        out_shape += [jax.ShapeDtypeStruct((Np, _LANE), i32)]  # gate_out
     ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
     in_specs = [pl.BlockSpec((C, NB, B), lambda ib, it: (0, ib, it))]
     operands = [x]
@@ -472,7 +502,7 @@ def aa_detect_fused_pallas(
         kernel,
         grid=(Np // NB, Lp // B),
         in_specs=in_specs,
-        out_specs=[ev_spec] * 10,
+        out_specs=[ev_spec] * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((C, NB, H), f32),            # IQ history
@@ -491,7 +521,7 @@ def aa_detect_fused_pallas(
         interpret=interpret,
     )(*operands)
     (valid, closed, gate_start, gate_close, peak_idx, peak_val, meta,
-     p_re, p_im, m_pk) = [o[:batch] for o in outs]
+     p_re, p_im, m_pk) = [o[:batch] for o in outs[:10]]
     E = max_events
     table = GateEvents(
         valid=valid[:, :E].astype(bool),
@@ -509,4 +539,9 @@ def aa_detect_fused_pallas(
         table = jax.tree.map(lambda a: a[0], table)
         P_at_peak = P_at_peak[0]
         M_at_peak = M_at_peak[0]
+    if emit_state:
+        gate_out = outs[10][:batch, :2]
+        if squeeze:
+            gate_out = gate_out[0]
+        return table, P_at_peak, M_at_peak, gate_out
     return table, P_at_peak, M_at_peak

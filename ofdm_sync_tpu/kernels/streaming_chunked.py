@@ -375,6 +375,7 @@ def minn_rtl_fused_stream_step(
 def stitch_chunk_tables(
     tables, *, hysteresis: int, stream_end: int | None = None,
     emit_unclosed: bool = False, tie_last: bool = True,
+    extras_list=None,
 ):
     """Host-side stitch of sequential per-chunk GateEvents into one event
     list (NumPy dicts).  A chunk's first gate continues the previous
@@ -385,11 +386,15 @@ def stitch_chunk_tables(
 
     `stream_end`: total stream length; clips the final close to the
     one-shot kernel's semantics (close = min(last_above + h, L - 1),
-    closed iff last_above + h <= L - 1)."""
+    closed iff last_above + h <= L - 1).
+
+    `extras_list`: optional per-table dict of name -> (E,) arrays of
+    capture-at-peak side channels (e.g. the AA kernel's P_re/P_im/M); the
+    winning piece's captures follow its peak through merges."""
     import numpy as np
 
     events = []  # list of dicts, in stream order
-    for tb in tables:
+    for t_i, tb in enumerate(tables):
         n = int(np.asarray(tb.count))
         for k in range(n):
             ev = {
@@ -398,6 +403,11 @@ def stitch_chunk_tables(
                 "pidx": int(np.asarray(tb.peak_idx)[k]),
                 "pval": float(np.asarray(tb.peak_value)[k]),
             }
+            if extras_list is not None:
+                ev["extras"] = {
+                    name: np.asarray(arr)[k]
+                    for name, arr in extras_list[t_i].items()
+                }
             if events and ev["start"] <= events[-1]["close"]:
                 prev = events[-1]
                 better = ev["pval"] > prev["pval"] or (
@@ -407,6 +417,8 @@ def stitch_chunk_tables(
                 )
                 if better:
                     prev["pidx"], prev["pval"] = ev["pidx"], ev["pval"]
+                    if "extras" in ev:
+                        prev["extras"] = ev["extras"]
                 prev["close"] = max(prev["close"], ev["close"])
             else:
                 events.append(ev)
@@ -419,3 +431,90 @@ def stitch_chunk_tables(
     if not emit_unclosed:
         events = [e for e in events if e["closed"]]
     return events
+
+
+class AAFusedStreamState(NamedTuple):
+    """Carried state of the fused [A][A] streaming receiver: the 2L-sample
+    IQ tail plus the kernel-emitted gate FSM carry (the AA metric has no
+    smoothing IIR -- reference sync_aa.py:421-571 /
+    docs/aa_preamble_sync_design.md §7)."""
+
+    hist: jax.Array    # (C, batch, H) channel-leading planar IQ tail
+    gate: jax.Array    # (batch, 2) i32 -- [last-above global index, flag]
+    base: jax.Array    # () i32 -- global index of the next sample
+
+
+def aa_fused_stream_init(
+    half_len: int, batch: int, branches: int = 2
+) -> AAFusedStreamState:
+    H = max(((2 * half_len + 127) // 128) * 128, 128)
+    C = 2 * branches
+    return AAFusedStreamState(
+        hist=jnp.zeros((C, batch, H), jnp.float32),
+        gate=jnp.concatenate(
+            [jnp.full((batch, 1), -1, jnp.int32),
+             jnp.zeros((batch, 1), jnp.int32)], axis=1,
+        ),
+        base=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("half_len", "threshold", "hysteresis", "max_events",
+                     "tie", "emit_unclosed"),
+)
+def aa_fused_stream_step(
+    state: AAFusedStreamState,
+    chunk: jax.Array,
+    *,
+    half_len: int,
+    threshold: float = 0.15,
+    hysteresis: int = 128,
+    max_events: int = 8,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+):
+    """One fused-kernel dispatch over one [A][A] chunk.
+
+    chunk: (C, batch, chunk_len) channel-leading planar float32.  Returns
+    ``(new_state, (GateEvents, P_at_peak, M_at_peak))`` with GLOBAL event
+    indices and the in-kernel CFO capture at each peak (planar (batch, 2,
+    E)).  Stitch per-chunk tables with `stitch_chunk_tables` (pass the
+    per-chunk extras so the winning piece's CFO capture survives the
+    merge).  Reference parity: sync_aa.py:421-571 consumed chunk-by-chunk.
+    """
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+
+    C, batch, Lc = chunk.shape
+    H = state.hist.shape[-1]
+    h = max(int(hysteresis), 1)
+    chunk = chunk.astype(jnp.float32)
+
+    la = state.gate[:, 0]
+    flag = ((la >= 0) & (state.base - la <= h)).astype(jnp.int32)
+    gate_init = jnp.stack([jnp.where(flag > 0, la, -1), flag], axis=1)
+
+    table, P_pk, M_pk, gate_out = aa_detect_fused_pallas(
+        chunk,
+        half_len=half_len,
+        threshold=threshold,
+        hysteresis=hysteresis,
+        max_events=max_events,
+        tie=tie,
+        emit_unclosed=emit_unclosed,
+        block=Lc,
+        channel_leading=True,
+        base_index=state.base,
+        stream_len_global=2**31 - 2,  # open-ended; see fused Minn step
+        shard_init=(state.hist, gate_init),
+        emit_state=True,
+    )
+    if Lc >= H:
+        new_hist = chunk[..., -H:]
+    else:
+        new_hist = jnp.concatenate([state.hist, chunk], axis=-1)[..., -H:]
+    new_state = AAFusedStreamState(
+        hist=new_hist, gate=gate_out, base=state.base + Lc
+    )
+    return new_state, (table, P_pk, M_pk)

@@ -133,3 +133,95 @@ def test_fused_stream_gate_carry_quiet_tail(rng):
     )
     assert len(got) == int(np.asarray(ref.count)[0])
     assert len(got) >= 2
+
+
+# ---------------------------------------------------------------------------
+# [A][A] fused streaming
+# ---------------------------------------------------------------------------
+
+AA_TOTAL = 256
+AA_L = AA_TOTAL // 2
+AA_CHUNK = 1024
+AA_LEN = 4 * AA_CHUNK
+
+
+def _aa_stream(rng, batch, positions, cfo_hz=500.0):
+    from ofdm_sync_tpu.ops.channel import apply_cfo
+    from ofdm_sync_tpu.ops.waveforms import build_aa_preamble
+    from ofdm_sync_tpu.params import SYS_AA_10M
+
+    pre, _, _ = build_aa_preamble(AA_TOTAL, SYS_AA_10M)
+    x = np.zeros((batch, 2, 2, AA_LEN), np.float32)
+    for b in range(batch):
+        sig = np.zeros(AA_LEN, complex)
+        for p in positions[b]:
+            sig[p : p + AA_TOTAL] = pre
+        rx = np.stack([sig, 0.8 * sig])
+        rx = np.asarray(
+            apply_cfo(jnp.asarray(rx), cfo_hz, SYS_AA_10M.sample_rate_hz)
+        )
+        rx = rx + 0.03 * (
+            rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+        )
+        x[b] = np.asarray(to_planar(jnp.asarray(rx)))
+    return jnp.asarray(x.reshape(batch, 4, AA_LEN).transpose(1, 0, 2))
+
+
+@pytest.mark.parametrize("seam", [False, True])
+def test_aa_fused_stream_equals_oneshot(rng, seam):
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+    from ofdm_sync_tpu.kernels.streaming_chunked import (
+        aa_fused_stream_init, aa_fused_stream_step,
+    )
+
+    batch = 2
+    if seam:
+        positions = [[AA_CHUNK - AA_TOTAL // 2], [2 * AA_CHUNK - AA_L]]
+    else:
+        positions = [[700], [2200]]
+    x = _aa_stream(rng, batch, positions)
+
+    ref_tab, ref_P, ref_M = aa_detect_fused_pallas(
+        x, half_len=AA_L, block=AA_CHUNK, channel_leading=True,
+        emit_unclosed=True,
+    )
+    state = aa_fused_stream_init(AA_L, batch)
+    tables, extras = [], []
+    for o in range(0, AA_LEN, AA_CHUNK):
+        state, (tb, P_pk, M_pk) = aa_fused_stream_step(
+            state, x[..., o : o + AA_CHUNK], half_len=AA_L,
+        )
+        tables.append(tb)
+        extras.append((P_pk, M_pk))
+    for b in range(batch):
+        got = stitch_chunk_tables(
+            [jax.tree.map(lambda a: a[b], t) for t in tables],
+            hysteresis=128, stream_end=AA_LEN, emit_unclosed=True,
+            tie_last=False,
+            extras_list=[
+                {
+                    "p_re": np.asarray(P)[b, 0],
+                    "p_im": np.asarray(P)[b, 1],
+                    "m": np.asarray(M)[b],
+                }
+                for P, M in extras
+            ],
+        )
+        k = int(np.asarray(ref_tab.count)[b])
+        assert len(got) == k >= 1, (b, got)
+        for e in range(k):
+            assert got[e]["start"] == int(np.asarray(ref_tab.gate_start)[b, e])
+            assert got[e]["pidx"] == int(np.asarray(ref_tab.peak_idx)[b, e])
+            np.testing.assert_array_equal(
+                got[e]["pval"], np.asarray(ref_tab.peak_value)[b, e]
+            )
+            # the CFO capture followed the winning peak through the stitch
+            np.testing.assert_array_equal(
+                got[e]["extras"]["p_re"], np.asarray(ref_P)[b, 0, e]
+            )
+            np.testing.assert_array_equal(
+                got[e]["extras"]["p_im"], np.asarray(ref_P)[b, 1, e]
+            )
+            np.testing.assert_array_equal(
+                got[e]["extras"]["m"], np.asarray(ref_M)[b, e]
+            )
