@@ -518,3 +518,42 @@ def aa_fused_stream_step(
         hist=new_hist, gate=gate_out, base=state.base + Lc
     )
     return new_state, (table, P_pk, M_pk)
+
+
+def minn_rtl_fused_stream_rebase(
+    state: MinnRTLFusedStreamState, *, params: MinnRTLStreamParams
+) -> MinnRTLFusedStreamState:
+    """Fresh index epoch for the fused stream (same contract as
+    `minn_rtl_stream_rebase`): zero the global counter -- restarting past
+    the 3Q-1 warm-up, since the carried IQ tail keeps the metric valid --
+    and drop any stale gate carry.  Rebase on a quiet stretch; an event
+    index ``gi`` from later chunks maps to
+    ``rebase_point + gi - (3Q - 1)`` globally."""
+    valid_from = max(0, 3 * params.quarter_len - 1)
+    batch = state.gate.shape[0]
+    return MinnRTLFusedStreamState(
+        hist=state.hist,
+        carry=state.carry,
+        gate=jnp.concatenate(
+            [jnp.full((batch, 1), -1, jnp.int32),
+             jnp.zeros((batch, 1), jnp.int32)], axis=1,
+        ),
+        base=jnp.asarray(valid_from, jnp.int32),
+    )
+
+
+def aa_fused_stream_rebase(
+    state: AAFusedStreamState, *, half_len: int
+) -> AAFusedStreamState:
+    """Fresh index epoch for the fused [A][A] stream (counter restarts past
+    the 2L-1 warm-up; stale gate carry dropped -- rebase on a quiet
+    stretch)."""
+    batch = state.gate.shape[0]
+    return AAFusedStreamState(
+        hist=state.hist,
+        gate=jnp.concatenate(
+            [jnp.full((batch, 1), -1, jnp.int32),
+             jnp.zeros((batch, 1), jnp.int32)], axis=1,
+        ),
+        base=jnp.asarray(2 * half_len - 1, jnp.int32),
+    )

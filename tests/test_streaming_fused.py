@@ -225,3 +225,39 @@ def test_aa_fused_stream_equals_oneshot(rng, seam):
             np.testing.assert_array_equal(
                 got[e]["extras"]["m"], np.asarray(ref_M)[b, e]
             )
+
+
+def test_fused_stream_rebase_epoch(rng):
+    """After a rebase on a quiet stretch, detection continues with fresh
+    indices: an event at global position P in epoch 1 reports at
+    P - rebase_point + (3Q - 1)."""
+    from ofdm_sync_tpu.kernels.streaming_chunked import (
+        minn_rtl_fused_stream_rebase,
+    )
+
+    batch = 1
+    pos2 = CHUNK + 700
+    x1 = _stream(rng, batch, [[500]])
+    x2 = _stream(rng, batch, [[pos2]])
+    state, t1 = _run_chunked(x1)
+    assert int(np.asarray(t1[0].count)[0]) >= 1
+    state = minn_rtl_fused_stream_rebase(state, params=PARAMS)
+    tables = []
+    for o in range(0, L, CHUNK):
+        state, tb = minn_rtl_fused_stream_step(
+            state, x2[..., o : o + CHUNK], params=PARAMS
+        )
+        tables.append(tb)
+    got = stitch_chunk_tables(
+        [jax.tree.map(lambda a: a[0], t) for t in tables],
+        hysteresis=PARAMS.hysteresis,
+        stream_end=L + 3 * Q - 1,
+        emit_unclosed=True,
+    )
+    assert len(got) >= 1
+    # epoch-relative index: positions shift by the warm-up offset
+    ref = minn_rtl_detect_fused_pallas(
+        x2, **KW, block=CHUNK, channel_leading=True, emit_unclosed=True,
+    )
+    shift = 3 * Q - 1
+    assert got[0]["pidx"] == int(np.asarray(ref.peak_idx)[0, 0]) + shift
