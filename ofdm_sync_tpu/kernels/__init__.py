@@ -29,8 +29,8 @@ _PALLAS_TM = (
 )
 _SUBMODULES = (
     "blocked", "streaming", "pallas_minn", "pallas_minn_tm",
-    "pallas_tm_common", "pallas_aa", "pallas_zc", "pallas_common",
-    "streaming_chunked",
+    "pallas_tm_common", "pallas_aa", "pallas_zc", "pallas_zc_tm",
+    "pallas_common", "streaming_chunked",
 )
 
 __all__ = list(_STREAMING + _PALLAS + _PALLAS_TM) + list(_SUBMODULES)

@@ -50,6 +50,7 @@ def _zc_kernel(
     L_global: int | None = None,
     with_base: bool = False,
     with_init: bool = False,
+    emit_state: bool = False,
 ):
     """CFAR threshold + gate/peak FSM.  Shard mode mirrors
     pallas_minn._detect_kernel: `with_base` prepends an SMEM scalar ref
@@ -66,9 +67,14 @@ def _zc_kernel(
     if with_init:
         hist_init_ref, gate_init_ref = refs[i : i + 2]
         i += 2
-    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
-     meta_ref, hist_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref,
-     tpval_ref) = refs[i:]
+    if emit_state:
+        (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+         meta_ref, gate_out_ref, hist_ref, gate_ref, tstart_ref, tlast_ref,
+         tpidx_ref, tpval_ref) = refs[i:]
+    else:
+        (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+         meta_ref, hist_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref,
+         tpval_ref) = refs[i:]
     it = pl.program_id(1)
     ib = pl.program_id(0)
     Lg = L_true if L_global is None else L_global
@@ -134,6 +140,11 @@ def _zc_kernel(
 
     @pl.when(it == pl.num_programs(1) - 1)
     def _():
+        if emit_state:
+            # gate FSM carry out (lane 0 = last-above global index,
+            # lane 1 = cluster count); the magnitude history is the
+            # chunk's own trailing W samples (caller-held input)
+            gate_out_ref[...] = gate_ref[...]
         common.event_finalize(
             valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
             meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
@@ -396,6 +407,7 @@ def zc_iq_cfar_detect_pallas(
         "batch_tile",
         "interpret",
         "stream_len_global",
+        "emit_state",
     ),
 )
 def zc_cfar_detect_pallas(
@@ -415,8 +427,15 @@ def zc_cfar_detect_pallas(
     base_index: jax.Array | None = None,
     stream_len_global: int | None = None,
     shard_init: tuple | None = None,
+    emit_state: bool = False,
 ):
     """CFAR threshold + gate/peak events over matched-filter magnitudes.
+
+    Streaming mode (`emit_state=True`, requires L % block == 0): a second
+    return value gate_out (batch, 2) i32 [last-above global index,
+    cluster count] -- with the chunk's own trailing W magnitudes this
+    primes the NEXT chunk via `shard_init` (see
+    `kernels.streaming_chunked.zc_cfar_fused_stream_step`).
 
     corr_mag: (batch, L) or (L,) float32.  Returns GateEvents with a leading
     batch axis (or scalar-shaped when unbatched).  Defaults mirror
@@ -477,7 +496,13 @@ def zc_cfar_detect_pallas(
         L_global=stream_len_global,
         with_base=with_base,
         with_init=with_init,
+        emit_state=emit_state,
     )
+    if emit_state and Lp != L_sig:
+        raise ValueError(
+            f"emit_state requires stream_len % block == 0; got L={L_sig}, "
+            f"block={B}"
+        )
     i32 = jnp.int32
     out_shape = [
         jax.ShapeDtypeStruct((Np, _LANE), jnp.uint8),
@@ -488,6 +513,8 @@ def zc_cfar_detect_pallas(
         jax.ShapeDtypeStruct((Np, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((Np, _LANE), i32),
     ]
+    if emit_state:
+        out_shape += [jax.ShapeDtypeStruct((Np, _LANE), i32)]
     ev_spec = pl.BlockSpec((NB, _LANE), lambda ib, it: (ib, 0))
     in_specs = [pl.BlockSpec((NB, B), lambda ib, it: (ib, it))]
     operands = [x]
@@ -513,7 +540,7 @@ def zc_cfar_detect_pallas(
         kernel,
         grid=(Np // NB, Lp // B),
         in_specs=in_specs,
-        out_specs=[ev_spec] * 7,
+        out_specs=[ev_spec] * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((NB, H), jnp.float32),
@@ -529,7 +556,7 @@ def zc_cfar_detect_pallas(
         interpret=interpret,
     )(*operands)
     valid, closed, gate_start, gate_close, peak_idx, peak_val, meta = [
-        o[:batch] for o in outs
+        o[:batch] for o in outs[:7]
     ]
     E = max_events
     table = GateEvents(
@@ -544,4 +571,9 @@ def zc_cfar_detect_pallas(
     )
     if squeeze:
         table = jax.tree.map(lambda a: a[0], table)
+    if emit_state:
+        gate_out = outs[7][:batch, :2]
+        if squeeze:
+            gate_out = gate_out[0]
+        return table, gate_out
     return table

@@ -557,3 +557,88 @@ def aa_fused_stream_rebase(
         ),
         base=jnp.asarray(2 * half_len - 1, jnp.int32),
     )
+
+
+class ZCCFARFusedStreamState(NamedTuple):
+    """Carried state of the fused ZC CFAR streaming receiver over
+    matched-filter magnitudes (reference zc_v2.py:288-336): the W-sample
+    magnitude tail plus the kernel-emitted gate FSM carry."""
+
+    hist: jax.Array    # (batch, H) trailing corr magnitudes
+    gate: jax.Array    # (batch, 2) i32 -- [last-above global index, flag]
+    base: jax.Array    # () i32 -- global index of the next sample
+
+
+def zc_cfar_fused_stream_init(
+    corr_window: int, batch: int
+) -> ZCCFARFusedStreamState:
+    H = max(((corr_window + 127) // 128) * 128, 128)
+    return ZCCFARFusedStreamState(
+        hist=jnp.zeros((batch, H), jnp.float32),
+        gate=jnp.concatenate(
+            [jnp.full((batch, 1), -1, jnp.int32),
+             jnp.zeros((batch, 1), jnp.int32)], axis=1,
+        ),
+        base=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("corr_window", "threshold_value",
+                     "threshold_frac_bits", "min_corr_mag", "hysteresis",
+                     "max_events", "tie", "emit_unclosed"),
+)
+def zc_cfar_fused_stream_step(
+    state: ZCCFARFusedStreamState,
+    chunk: jax.Array,
+    *,
+    corr_window: int = 2048,
+    threshold_value: int | None = None,
+    threshold_frac_bits: int = 15,
+    min_corr_mag: float = 0.3,
+    hysteresis: int = 256,
+    max_events: int = 16,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+):
+    """One fused-kernel dispatch over one chunk of matched-filter
+    magnitudes ((batch, chunk_len) float32).  Returns ``(new_state,
+    GateEvents)`` with GLOBAL indices; stitch per-chunk tables with
+    `stitch_chunk_tables(tie_last=False)` (reference zc_v2 selects the
+    strongest event from the stitched list, zc_v2.py:567-576)."""
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+
+    batch, Lc = chunk.shape
+    H = state.hist.shape[-1]
+    h = max(int(hysteresis), 1)
+    chunk = chunk.astype(jnp.float32)
+
+    la = state.gate[:, 0]
+    flag = ((la >= 0) & (state.base - la <= h)).astype(jnp.int32)
+    gate_init = jnp.stack([jnp.where(flag > 0, la, -1), flag], axis=1)
+
+    table, gate_out = zc_cfar_detect_pallas(
+        chunk,
+        corr_window=corr_window,
+        threshold_value=threshold_value,
+        threshold_frac_bits=threshold_frac_bits,
+        min_corr_mag=min_corr_mag,
+        hysteresis=hysteresis,
+        max_events=max_events,
+        tie=tie,
+        emit_unclosed=emit_unclosed,
+        block=Lc,
+        base_index=state.base,
+        stream_len_global=2**31 - 2,  # open-ended; see fused Minn step
+        shard_init=(state.hist, gate_init),
+        emit_state=True,
+    )
+    if Lc >= H:
+        new_hist = chunk[..., -H:]
+    else:
+        new_hist = jnp.concatenate([state.hist, chunk], axis=-1)[..., -H:]
+    new_state = ZCCFARFusedStreamState(
+        hist=new_hist, gate=gate_out, base=state.base + Lc
+    )
+    return new_state, table

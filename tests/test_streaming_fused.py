@@ -261,3 +261,50 @@ def test_fused_stream_rebase_epoch(rng):
     )
     shift = 3 * Q - 1
     assert got[0]["pidx"] == int(np.asarray(ref.peak_idx)[0, 0]) + shift
+
+
+# ---------------------------------------------------------------------------
+# ZC CFAR fused streaming (matched-filter magnitudes in)
+# ---------------------------------------------------------------------------
+
+def test_zc_cfar_fused_stream_equals_oneshot(rng):
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+    from ofdm_sync_tpu.kernels.streaming_chunked import (
+        zc_cfar_fused_stream_init, zc_cfar_fused_stream_step,
+    )
+
+    W = 512
+    CH = 1024
+    N = 4 * CH
+    batch = 2
+    # noise-floor magnitudes with peak bursts, one straddling a chunk seam
+    mags = 0.02 * np.abs(rng.standard_normal((batch, N))).astype(np.float32)
+    for b, centers in enumerate([[CH - 4, 2500], [2 * CH - 2]]):
+        for c in centers:
+            mags[b, c - 3 : c + 4] += np.float32(
+                [0.4, 0.8, 1.5, 2.0, 1.5, 0.8, 0.4]
+            )
+    x = jnp.asarray(mags)
+    kw = dict(corr_window=W, hysteresis=64, max_events=8)
+
+    ref = zc_cfar_detect_pallas(x, **kw, block=CH, emit_unclosed=True)
+    state = zc_cfar_fused_stream_init(W, batch)
+    tables = []
+    for o in range(0, N, CH):
+        state, tb = zc_cfar_fused_stream_step(
+            state, x[..., o : o + CH], **kw,
+        )
+        tables.append(tb)
+    for b in range(batch):
+        got = stitch_chunk_tables(
+            [jax.tree.map(lambda a: a[b], t) for t in tables],
+            hysteresis=64, stream_end=N, emit_unclosed=True, tie_last=False,
+        )
+        k = int(np.asarray(ref.count)[b])
+        assert len(got) == k >= 1, (b, got)
+        for e in range(k):
+            assert got[e]["start"] == int(np.asarray(ref.gate_start)[b, e])
+            assert got[e]["pidx"] == int(np.asarray(ref.peak_idx)[b, e])
+            np.testing.assert_array_equal(
+                got[e]["pval"], np.asarray(ref.peak_value)[b, e]
+            )
