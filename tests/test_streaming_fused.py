@@ -308,3 +308,51 @@ def test_zc_cfar_fused_stream_equals_oneshot(rng):
             np.testing.assert_array_equal(
                 got[e]["pval"], np.asarray(ref.peak_value)[b, e]
             )
+
+
+def test_fused_stream_data_parallel(rng):
+    """Multi-chip streaming: the fused stream step runs per-shard under
+    shard_map with streams on 'data' (zero collectives -- each chip
+    carries its own streams' state), equal to the unsharded step."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from ofdm_sync_tpu.parallel.shard import make_stream_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=8, n_seq=1)
+    batch = 8
+    x = _stream(rng, batch, [[300 + 137 * b] for b in range(batch)])
+
+    state0 = minn_rtl_fused_stream_init(PARAMS, batch)
+
+    def step(s, c):
+        return minn_rtl_fused_stream_step(s, c, params=PARAMS)
+
+    st_spec = type(state0)(
+        hist=P(None, "data", None), carry=P("data"), gate=P("data", None),
+        base=P(),
+    )
+    tb_spec = jax.tree.map(lambda _: P("data"), _run_chunked(x)[1][0])
+    sharded_step = shard_map(
+        step, mesh=mesh,
+        in_specs=(st_spec, P(None, "data", None)),
+        out_specs=(st_spec, tb_spec),
+        check_vma=False,
+    )
+    s_ref, s_sh = state0, state0
+    for o in range(0, L, CHUNK):
+        chunk = x[..., o : o + CHUNK]
+        s_ref, t_ref = minn_rtl_fused_stream_step(
+            s_ref, chunk, params=PARAMS
+        )
+        s_sh, t_sh = sharded_step(s_sh, chunk)
+        for f in ("count", "gate_start", "gate_close", "peak_idx"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(t_sh, f)), np.asarray(getattr(t_ref, f)),
+                err_msg=f,
+            )
+    np.testing.assert_array_equal(
+        np.asarray(s_sh.carry), np.asarray(s_ref.carry)
+    )
+    np.testing.assert_array_equal(np.asarray(s_sh.gate), np.asarray(s_ref.gate))
