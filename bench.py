@@ -436,27 +436,30 @@ def _secondary_kernels(batch: int, stream_len: int) -> None:
         Lc = stream_len + RF - 1
         G, NT = batch // _LANES, -(-Lc // zrows)
 
-        def gen_tiled(key, live_rows):
-            # padding rows past the true length must be zero (kernel
-            # contract) in the LAST time block of EACH group
-            live = (jnp.arange(zrows) < live_rows)[None, None, :, None]
-            mask = jnp.tile(live, (1, 1, 2 * BRANCHES, 1)).reshape(
-                1, 1, 2 * BRANCHES * zrows, 1
-            )
+        def gen_tiled(key, live_len):
+            # ALL rows past the true length must be zero (kernel contract)
+            # in EVERY group's tail blocks -- mask by global sample index,
+            # which handles live_len not a multiple of zrows
+            gidx = (
+                jnp.arange(NT)[:, None] * zrows + jnp.arange(zrows)[None, :]
+            )  # (NT, zrows) global sample index per block row
+            live = (gidx < live_len)[None, :, None, :, None]
+            mask = jnp.broadcast_to(
+                live, (1, NT, 2 * BRANCHES, zrows, 1)
+            ).reshape(1, NT, 2 * BRANCHES * zrows, 1)
 
             def f(k):
                 v = jax.random.normal(
                     k, (G, NT, 2 * BRANCHES * zrows, _LANES), jnp.float32
                 )
-                last = v[:, -1:] * mask.astype(jnp.float32)
-                return jnp.concatenate(
-                    [v[:, : NT - 1], last], axis=1
-                ).reshape(G * NT, 2 * BRANCHES * zrows, _LANES)
+                return (v * mask.astype(jnp.float32)).reshape(
+                    G * NT, 2 * BRANCHES * zrows, _LANES
+                )
 
             return jax.jit(f)(jax.random.key(key))
 
-        mft = gen_tiled(3, Lc - (NT - 1) * zrows)
-        iqt = gen_tiled(4, max(stream_len - (NT - 1) * zrows, 0))
+        mft = gen_tiled(3, Lc)
+        iqt = gen_tiled(4, stream_len)
         jax.block_until_ready((mft, iqt))
         fq = jax.jit(
             lambda m, q: zc_iq_cfar_detect_tm(

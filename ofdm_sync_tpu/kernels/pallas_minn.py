@@ -622,7 +622,7 @@ def minn_rtl_detect_fused_pallas(
     trailing 3Q samples these prime the NEXT chunk via `shard_init`, so a
     live receiver runs ONE kernel dispatch per chunk with kernel-exact
     state continuity (no XLA re-derivation; see
-    `kernels.streaming_chunked.minn_rtl_stream_step_fused`).  Returns
+    `kernels.streaming_chunked.minn_rtl_fused_stream_step`).  Returns
     ``(GateEvents, (carry_out, gate_out))`` in this mode.
     """
     from ofdm_sync_tpu.ops.detect import GateEvents

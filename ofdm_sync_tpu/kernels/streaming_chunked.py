@@ -390,23 +390,43 @@ def stitch_chunk_tables(
 
     `extras_list`: optional per-table dict of name -> (E,) arrays of
     capture-at-peak side channels (e.g. the AA kernel's P_re/P_im/M); the
-    winning piece's captures follow its peak through merges."""
+    winning piece's captures follow its peak through merges.
+
+    SINGLE-STREAM tables only: the fused stream steps return BATCHED
+    GateEvents ((batch, E) fields); slice one stream first, e.g.
+    ``[jax.tree.map(lambda a: a[b], t) for t in tables]``.  `tie_last`
+    must match the kernel's tie mode (pass ``tie_last=False`` for the
+    AA / ZC CFAR defaults of ``tie='first'``)."""
     import numpy as np
 
     events = []  # list of dicts, in stream order
     for t_i, tb in enumerate(tables):
-        n = int(np.asarray(tb.count))
+        count = np.asarray(tb.count)
+        if count.ndim != 0:
+            raise ValueError(
+                "stitch_chunk_tables expects single-stream tables "
+                f"(scalar count); got count shape {count.shape} -- slice "
+                "one stream first: jax.tree.map(lambda a: a[b], table)"
+            )
+        n = int(count)
+        starts = np.asarray(tb.gate_start)
+        closes = np.asarray(tb.gate_close)
+        pidxs = np.asarray(tb.peak_idx)
+        pvals = np.asarray(tb.peak_value)
+        extras_np = (
+            {name: np.asarray(arr) for name, arr in extras_list[t_i].items()}
+            if extras_list is not None else None
+        )
         for k in range(n):
             ev = {
-                "start": int(np.asarray(tb.gate_start)[k]),
-                "close": int(np.asarray(tb.gate_close)[k]),
-                "pidx": int(np.asarray(tb.peak_idx)[k]),
-                "pval": float(np.asarray(tb.peak_value)[k]),
+                "start": int(starts[k]),
+                "close": int(closes[k]),
+                "pidx": int(pidxs[k]),
+                "pval": float(pvals[k]),
             }
-            if extras_list is not None:
+            if extras_np is not None:
                 ev["extras"] = {
-                    name: np.asarray(arr)[k]
-                    for name, arr in extras_list[t_i].items()
+                    name: arr[k] for name, arr in extras_np.items()
                 }
             if events and ev["start"] <= events[-1]["close"]:
                 prev = events[-1]
@@ -480,9 +500,11 @@ def aa_fused_stream_step(
     chunk: (C, batch, chunk_len) channel-leading planar float32.  Returns
     ``(new_state, (GateEvents, P_at_peak, M_at_peak))`` with GLOBAL event
     indices and the in-kernel CFO capture at each peak (planar (batch, 2,
-    E)).  Stitch per-chunk tables with `stitch_chunk_tables` (pass the
-    per-chunk extras so the winning piece's CFO capture survives the
-    merge).  Reference parity: sync_aa.py:421-571 consumed chunk-by-chunk.
+    E)).  Stitch per-chunk tables with `stitch_chunk_tables` per stream,
+    passing ``tie_last=(tie == 'last')`` -- the AA default is
+    ``tie='first'``, so pass ``tie_last=False`` -- and the per-chunk
+    extras so the winning piece's CFO capture survives the merge.
+    Reference parity: sync_aa.py:421-571 consumed chunk-by-chunk.
     """
     from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
 

@@ -579,19 +579,15 @@ class AADetector:
             np.asarray(M_at_peak),
         )
 
-    def detect_fused(self, rx) -> DetectionResult:
-        """TPU fast path: the fully-fused Pallas kernel (kernels.pallas_aa).
-
-        Semantically identical to `detect` (tests assert table equality) but
-        reads the IQ stream from HBM exactly once and emits only the event
-        table -- use for long streams / large batches on hardware.
-        """
+    def _planarize_and_detect_fused(self, rx):
+        """Shared front half of the fused paths: planar-ize (the axon TPU
+        backend cannot take or return complex buffers, and the kernel wants
+        planar f32 anyway) and run the fused kernel.  Returns
+        (iq_planar, n, table, P_pk, M_pk)."""
         from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
         from ofdm_sync_tpu.kernels.streaming import to_planar
 
         if isinstance(rx, np.ndarray):
-            # planar-ize on the host: the axon TPU backend cannot take or
-            # return complex buffers, and the kernel wants planar f32 anyway
             x = rx[None] if rx.ndim == 1 else rx
             iq = jnp.asarray(
                 np.stack([x.real, x.imag], axis=-2), jnp.float32
@@ -610,6 +606,16 @@ class AADetector:
             hysteresis=self.params.hysteresis,
             max_events=self.max_events,
         )
+        return iq, n, table, P_pk, M_pk
+
+    def detect_fused(self, rx) -> DetectionResult:
+        """TPU fast path: the fully-fused Pallas kernel (kernels.pallas_aa).
+
+        Semantically identical to `detect` (tests assert table equality) but
+        reads the IQ stream from HBM exactly once and emits only the event
+        table -- use for long streams / large batches on hardware.
+        """
+        _, n, table, P_pk, M_pk = self._planarize_and_detect_fused(rx)
         P_pk = np.asarray(P_pk)  # planar (2, E)
         return self._assemble_events(
             table, n, P_pk[0], P_pk[1], np.asarray(M_pk)
@@ -629,29 +635,9 @@ class AADetector:
         valid)`` with frames planar ``(max_frames, 2*BR, frame_len)``
         float32 — fetchable through the axon tunnel (no complex buffers).
         """
-        from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
-        from ofdm_sync_tpu.kernels.streaming import to_planar
         from ofdm_sync_tpu.ops.extract import extract_frames
 
-        if isinstance(rx, np.ndarray):
-            x = rx[None] if rx.ndim == 1 else rx
-            iq = jnp.asarray(
-                np.stack([x.real, x.imag], axis=-2), jnp.float32
-            )
-            n = x.shape[-1]
-        else:
-            x = _dev(rx)
-            if x.ndim == 1:
-                x = x[None]
-            iq = to_planar(x)
-            n = x.shape[-1]
-        table, P_pk, M_pk = aa_detect_fused_pallas(
-            iq,
-            half_len=self.L,
-            threshold=self.params.threshold,
-            hysteresis=self.params.hysteresis,
-            max_events=self.max_events,
-        )
+        iq, n, table, P_pk, M_pk = self._planarize_and_detect_fused(rx)
         frames, starts, valid = extract_frames(
             iq.reshape(-1, n), table,
             frame_len=frame_len,

@@ -55,8 +55,9 @@ def extract_frames(
         sample (clipped);
       valid:  ``(max_frames,)`` bool — slot holds a real detection.
 
-    Batched streams: ``jax.vmap(extract_frames_partial)`` over a leading
-    axis of both ``iq`` and the table works as usual.
+    Batched streams: use `extract_frames_batched` (or ``jax.vmap`` over a
+    ``functools.partial`` of this function) over a leading axis of both
+    ``iq`` and the table.
     """
     C, L = iq.shape
     E = table.peak_idx.shape[-1]
