@@ -42,6 +42,48 @@ from ofdm_sync_tpu.ops.windows import shift_right
 _I32_MAX = jnp.iinfo(jnp.int32).max
 _NEG_INF = float("-inf")
 
+# Hard bound of one index epoch: global sample indices are int32 and the
+# open-ended fused steps pin the far horizon to 2^31 - 2, so state.base +
+# chunk_len must stay strictly below this or indices silently wrap (~70 s
+# of stream at 30.72 Msps).  Call a *_rebase helper on a quiet stretch
+# before the headroom runs out; `epoch_headroom` is the host-side check.
+EPOCH_HORIZON = 2**31 - 2
+_EPOCH_WARN_MARGIN = 1 << 28  # ~268M samples (~8.7 s at 30.72 Msps)
+
+
+def epoch_headroom(state, *, warn_margin: int = _EPOCH_WARN_MARGIN) -> int:
+    """Samples left in the current int32 index epoch (host-side guard).
+
+    Works on any stream state with a `.base` field.  Warns when headroom
+    drops under `warn_margin` and raises once the epoch is exhausted --
+    a continuously running receiver calls this between chunks (it is a
+    host-side check; `state.base` must be concrete, not a tracer) and
+    invokes the matching `*_rebase` helper on a quiet stretch well before
+    the horizon.
+    """
+    import warnings
+
+    import numpy as np
+
+    base = int(np.asarray(state.base))
+    headroom = EPOCH_HORIZON - base
+    if headroom <= 0:
+        raise OverflowError(
+            f"int32 index epoch exhausted (base={base} >= {EPOCH_HORIZON}); "
+            "indices from further chunks would wrap -- rebase the stream "
+            "state (minn_rtl_stream_rebase / *_fused_stream_rebase) on a "
+            "quiet stretch before this point"
+        )
+    if headroom < warn_margin:
+        warnings.warn(
+            f"index epoch nearly exhausted ({headroom} samples of headroom "
+            f"left before {EPOCH_HORIZON}); rebase the stream state on the "
+            "next quiet stretch",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return headroom
+
 
 class MinnRTLStreamParams(NamedTuple):
     quarter_len: int
@@ -301,13 +343,12 @@ def minn_rtl_fused_stream_init(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "emit_unclosed"))
+@functools.partial(jax.jit, static_argnames=("params",))
 def minn_rtl_fused_stream_step(
     state: MinnRTLFusedStreamState,
     chunk: jax.Array,
     *,
     params: MinnRTLStreamParams,
-    emit_unclosed: bool = True,
 ):
     """Process one chunk through the FUSED detect kernel (one dispatch).
 
@@ -315,10 +356,18 @@ def minn_rtl_fused_stream_step(
     chunk_len a multiple of 128.  Returns ``(new_state, GateEvents)`` --
     the chunk's OWN event table with GLOBAL indices (fresh per chunk;
     capacity-bounded like the RTL's timer queue).  A gate still open at
-    the chunk edge surfaces as an unclosed event (when `emit_unclosed`)
-    and the next chunk continues it via the primed gate carry; stitch
-    per-chunk tables with `stitch_chunk_tables` (gap <= h rule, the same
-    seam semantics as the sharded table merge).
+    the chunk edge always surfaces as a trailing event (against the
+    open-ended horizon every gate finalizes "closed"; real closed-ness is
+    decided by ``stitch_chunk_tables(stream_end=...)``) and the next chunk
+    continues it via the primed gate carry; stitch per-chunk tables with
+    `stitch_chunk_tables` (gap <= h rule, the same seam semantics as the
+    sharded table merge).
+
+    Index epoch: global indices are int32 against the `EPOCH_HORIZON`
+    (2^31 - 2) far horizon -- a continuously running receiver checks
+    `epoch_headroom(state)` between chunks and calls
+    `minn_rtl_fused_stream_rebase` on a quiet stretch before it runs out
+    (~70 s of stream at 30.72 Msps per epoch).
 
     Reference parity: the RTL consumes the same stream sample-by-sample
     with identical state (ref/minn_preamble_detector.sv:247-384); this is
@@ -346,7 +395,7 @@ def minn_rtl_fused_stream_step(
         hysteresis=params.hysteresis,
         max_events=params.max_events,
         tie=params.tie,
-        emit_unclosed=emit_unclosed,
+        emit_unclosed=True,
         block=Lc,
         channel_leading=True,
         base_index=state.base,
@@ -355,7 +404,7 @@ def minn_rtl_fused_stream_step(
         # `next.start <= prev.close` is the exact FSM gap test; the final
         # event of a finite stream is clipped by `stitch_chunk_tables`'s
         # `stream_end`
-        stream_len_global=2**31 - 2,
+        stream_len_global=EPOCH_HORIZON,
         shard_init=(state.hist, state.carry, gate_init),
         emit_state=True,
     )
@@ -396,11 +445,21 @@ def stitch_chunk_tables(
     GateEvents ((batch, E) fields); slice one stream first, e.g.
     ``[jax.tree.map(lambda a: a[b], t) for t in tables]``.  `tie_last`
     must match the kernel's tie mode (pass ``tie_last=False`` for the
-    AA / ZC CFAR defaults of ``tie='first'``)."""
+    AA / ZC CFAR defaults of ``tie='first'``).
+
+    Warns (RuntimeWarning) when any chunk's table overflowed its
+    max_events capacity -- events the kernel dropped cannot be recovered
+    by the stitch -- or when any event index approaches the int32
+    `EPOCH_HORIZON` (the caller should have rebased earlier)."""
+    import warnings
+
     import numpy as np
 
     events = []  # list of dicts, in stream order
+    overflowed = []
     for t_i, tb in enumerate(tables):
+        if bool(np.asarray(tb.overflow)):
+            overflowed.append(t_i)
         count = np.asarray(tb.count)
         if count.ndim != 0:
             raise ValueError(
@@ -442,6 +501,22 @@ def stitch_chunk_tables(
                 prev["close"] = max(prev["close"], ev["close"])
             else:
                 events.append(ev)
+    if overflowed:
+        warnings.warn(
+            f"{len(overflowed)} chunk table(s) (indices {overflowed[:8]}...) "
+            "overflowed max_events capacity; events dropped by the kernel "
+            "are missing from the stitched list -- raise max_events or "
+            "shorten chunks",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if events and events[-1]["close"] >= EPOCH_HORIZON - _EPOCH_WARN_MARGIN:
+        warnings.warn(
+            "event indices approach the int32 EPOCH_HORIZON; rebase the "
+            "stream state (see epoch_headroom)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     for ev in events:
         ev["closed"] = (
             True if stream_end is None else ev["close"] <= stream_end - 1
@@ -482,7 +557,7 @@ def aa_fused_stream_init(
 @functools.partial(
     jax.jit,
     static_argnames=("half_len", "threshold", "hysteresis", "max_events",
-                     "tie", "emit_unclosed"),
+                     "tie"),
 )
 def aa_fused_stream_step(
     state: AAFusedStreamState,
@@ -493,7 +568,6 @@ def aa_fused_stream_step(
     hysteresis: int = 128,
     max_events: int = 8,
     tie: str = "first",
-    emit_unclosed: bool = True,
 ):
     """One fused-kernel dispatch over one [A][A] chunk.
 
@@ -504,7 +578,11 @@ def aa_fused_stream_step(
     passing ``tie_last=(tie == 'last')`` -- the AA default is
     ``tie='first'``, so pass ``tie_last=False`` -- and the per-chunk
     extras so the winning piece's CFO capture survives the merge.
-    Reference parity: sync_aa.py:421-571 consumed chunk-by-chunk.
+    Trailing open gates always surface (closed-ness against the stream end
+    is decided by ``stitch_chunk_tables(stream_end=...)``); the int32
+    index epoch is bounded by `EPOCH_HORIZON` -- check `epoch_headroom`
+    and call `aa_fused_stream_rebase` on a quiet stretch before it runs
+    out.  Reference parity: sync_aa.py:421-571 consumed chunk-by-chunk.
     """
     from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
 
@@ -524,11 +602,11 @@ def aa_fused_stream_step(
         hysteresis=hysteresis,
         max_events=max_events,
         tie=tie,
-        emit_unclosed=emit_unclosed,
+        emit_unclosed=True,
         block=Lc,
         channel_leading=True,
         base_index=state.base,
-        stream_len_global=2**31 - 2,  # open-ended; see fused Minn step
+        stream_len_global=EPOCH_HORIZON,  # open-ended; see fused Minn step
         shard_init=(state.hist, gate_init),
         emit_state=True,
     )
@@ -609,7 +687,7 @@ def zc_cfar_fused_stream_init(
     jax.jit,
     static_argnames=("corr_window", "threshold_value",
                      "threshold_frac_bits", "min_corr_mag", "hysteresis",
-                     "max_events", "tie", "emit_unclosed"),
+                     "max_events", "tie"),
 )
 def zc_cfar_fused_stream_step(
     state: ZCCFARFusedStreamState,
@@ -622,13 +700,15 @@ def zc_cfar_fused_stream_step(
     hysteresis: int = 256,
     max_events: int = 16,
     tie: str = "first",
-    emit_unclosed: bool = True,
 ):
     """One fused-kernel dispatch over one chunk of matched-filter
     magnitudes ((batch, chunk_len) float32).  Returns ``(new_state,
     GateEvents)`` with GLOBAL indices; stitch per-chunk tables with
     `stitch_chunk_tables(tie_last=False)` (reference zc_v2 selects the
-    strongest event from the stitched list, zc_v2.py:567-576)."""
+    strongest event from the stitched list, zc_v2.py:567-576).  Trailing
+    open gates always surface (closed-ness is decided by
+    ``stitch_chunk_tables(stream_end=...)``); the int32 index epoch is
+    bounded by `EPOCH_HORIZON` -- check `epoch_headroom` between chunks."""
     from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
 
     batch, Lc = chunk.shape
@@ -649,10 +729,10 @@ def zc_cfar_fused_stream_step(
         hysteresis=hysteresis,
         max_events=max_events,
         tie=tie,
-        emit_unclosed=emit_unclosed,
+        emit_unclosed=True,
         block=Lc,
         base_index=state.base,
-        stream_len_global=2**31 - 2,  # open-ended; see fused Minn step
+        stream_len_global=EPOCH_HORIZON,  # open-ended; see fused Minn step
         shard_init=(state.hist, gate_init),
         emit_state=True,
     )

@@ -160,6 +160,14 @@ def run_single_test(
             plot_dir / f"{channel_str}_snr{snr_db:+.0f}dB_fs{full_scale_ratio:.2f}_L{L}.png",
             dpi=120,
         )
+        if preamble_length == 1024:
+            # the reference tree carries the default-length condition under
+            # BOTH namings (e.g. cir1_snr+10dB_fs1.00.png AND ..._L512.png,
+            # reference plots/sync_aa/cir1/); emit both for artifact parity
+            plt.savefig(
+                plot_dir / f"{channel_str}_snr{snr_db:+.0f}dB_fs{full_scale_ratio:.2f}.png",
+                dpi=120,
+            )
         plt.close()
 
     return TestResult(
