@@ -301,6 +301,29 @@ def _tm_subprocess(batch: int, stream_len: int, iters: int,
     )
 
 
+def _onchip_check():
+    """Value-level parity of the Mosaic-COMPILED kernels on this device:
+    TM kernel == lane-major kernel == XLA datapath event tables for the
+    flagship Minn-RTL detector and the from-IQ ZC CFAR detector
+    (`conformance.onchip`; round-3 VERDICT item 1 -- the interpret-mode
+    test suite cannot see a Mosaic lowering divergence)."""
+    from ofdm_sync_tpu.conformance import onchip
+
+    return onchip.run_all()
+
+
+def _check_subprocess(timeout_s: int = 560):
+    """Run the on-chip parity check under the compile watchdog.  Returns
+    (checked, ok): checked=0.0 when the check could not run (the JSON line
+    then reports checked=false, never a silent pass)."""
+    return _watchdog_subprocess(
+        "r = bench._onchip_check(); "
+        "import sys; print('CHECK_DETAIL', r, file=sys.stderr); "
+        "print('CHECK_RESULT', 1.0, 1.0 if r['ok'] else 0.0)",
+        "CHECK_RESULT", timeout_s,
+    )
+
+
 def _latency_subprocess(timeout_s: int = 560):
     """Measure block latency in a watchdog subprocess (the tunnel's remote
     compile can stall for minutes; the headline JSON line must never wait
@@ -349,6 +372,22 @@ def main() -> None:
                       f"{e3}); retrying reduced workload", file=sys.stderr)
                 sps, dt = _run_lane_major(2, 1 << 15, 2, use_pallas=False)
 
+    # on-chip value-level parity of the Mosaic-compiled kernels (recorded in
+    # the JSON artifact; checked=false means the check could not run, never
+    # a silent pass)
+    checked = check_ok = False
+    if platform == "tpu":
+        try:
+            c, ok = _check_subprocess()
+            checked, check_ok = bool(c), bool(ok)
+        except Exception as e:  # pragma: no cover
+            print(f"bench: on-chip check failed to run "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+        if checked and not check_ok:
+            print("bench: ON-CHIP PARITY CHECK FAILED -- run "
+                  "`python -m ofdm_sync_tpu.conformance.onchip` for the "
+                  "field-level diff", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -356,6 +395,8 @@ def main() -> None:
                 "value": round(sps),
                 "unit": "samples/s",
                 "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+                "checked": checked,
+                "check_ok": check_ok,
             }
         )
     )

@@ -3,7 +3,7 @@
 The lane-major from-IQ kernel (`pallas_zc.zc_iq_cfar_detect_pallas`) is
 bound by its two 2048-sample lane-ladders (the ref-window sliding energy
 and the CFAR running sum): each doubling step is a sub-lane LANE roll that
-costs ~3x a vector add, and measured throughput sits at 1.55 G samples/s —
+costs ~3x a vector add, and measured throughput sits at 1.55 G samples/s --
 10x below the fused-kernel family's pace (docs/design.md §8 named the
 time-major layout the next lever).  This kernel transposes the problem the
 same way `pallas_minn_tm` does: **time runs down the sublane (row) axis,
@@ -11,7 +11,7 @@ same way `pallas_minn_tm` does: **time runs down the sublane (row) axis,
 sublane concatenation (free at multiples of 8 rows) and the ladders stop
 dominating VPU issue.
 
-Input layout — the same tiled stream buffer as `pallas_minn_tm`:
+Input layout -- the same tiled stream buffer as `pallas_minn_tm`:
 
     x[(g * NT + t), c * R + r, s]  =  stream (g*128 + s), channel plane c,
                                       sample (t * R + r)
@@ -28,9 +28,18 @@ Per grid step the kernel consumes R rows x 128 streams of each buffer and
 runs the whole zc_v2 datapath in VMEM: per-branch sliding energy over
 ref_len, `ref_norm * sqrt` normalization, branch sum, magnitude, the
 W-window CFAR threshold with absolute floor, and the gate/hysteresis/peak
-event FSM — none of the five full-length intermediates of the XLA form
+event FSM -- none of the five full-length intermediates of the XLA form
 touch HBM.  Arithmetic mirrors `pallas_zc._zc_iq_kernel` op for op, so
 event tables match the lane-major kernel and the XLA detector path.
+
+Shard mode (multi-chip seq sharding, `parallel.shard.sharded_zc_iq_detect_tm`):
+`base_index` offsets emitted indices to global stream positions, and
+`shard_init` carries the neighbor shard's trailing (ref_len-1 + W + h)
+rows of BOTH buffers.  Unlike the Minn kernels (whose smoothing carry is
+XLA-primed), the ZC halo is pushed through the full datapath INSIDE the
+kernel at grid step 0 -- the same Mosaic ladders compute the halo's
+energies/magnitudes/gate state, so sharded event tables are bit-identical
+to the unsharded kernel's, with no float-association caveat at the seam.
 
 Reference parity: zc_v2.py:119-158, 244-336, 486-498 (semantics unchanged).
 """
@@ -54,15 +63,25 @@ to_time_tiled = tm.to_time_tiled
 from_time_tiled = tm.from_time_tiled
 
 
+def zc_tm_halo_rows(ref_len: int, corr_window: int, hysteresis: int) -> int:
+    """Shard-halo depth (rows of BOTH buffers) for exact seam priming:
+    the oldest CFAR decision needed for gate priming sits h rows back, its
+    local sum reaches W further, and the oldest magnitude in that sum needs
+    ref_len-1 rows of energy history."""
+    h = max(int(hysteresis), 1)
+    # +8: the primed mhist keeps round_up(W, 8) rows, so the oldest kept
+    # magnitude must still clear the ref_len-1 energy warm-up even when
+    # h < the rounding slack
+    return _round_up(ref_len - 1 + corr_window + h, 8) + 8
+
+
 def _zc_iq_tm_kernel(
-    mf_ref,      # (1, C*R, LANES) matched-filter block
-    iq_ref,      # (1, C*R, LANES) IQ block (zero-padded past L_iq)
-    valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
-    meta_ref,
-    phist_ref,   # (BR*HE, LANES) per-branch power history (energy window)
-    mhist_ref,   # (H, LANES) corr-magnitude history (CFAR window)
-    gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
-    *,
+    *refs,
+    # ref order: [base (SMEM, shard mode)] mf_ref iq_ref [mf_halo, iq_halo
+    # (shard-init mode)] then the 7 event-table outputs and scratch:
+    #   phist_ref  (BR*HE, LANES) per-branch power history (energy window)
+    #   mhist_ref  (H, LANES) corr-magnitude history (CFAR window)
+    #   gate/tstart/tlast/tpidx/tpval event scratch
     BR: int,
     C: int,
     R: int,
@@ -70,6 +89,7 @@ def _zc_iq_tm_kernel(
     W: int,
     HE: int,
     H: int,
+    WhR: int,
     ref_norm: float,
     threshold_value: int,
     threshold_frac_bits: int,
@@ -80,17 +100,96 @@ def _zc_iq_tm_kernel(
     batch_last: int,
     tie_last: bool,
     emit_unclosed: bool,
+    L_global: int | None = None,
+    with_base: bool = False,
+    with_init: bool = False,
 ):
+    i = 0
+    if with_base:
+        base = refs[i][0]
+        i += 1
+    else:
+        base = None
+    mf_ref = refs[i]
+    iq_ref = refs[i + 1]
+    i += 2
+    if with_init:
+        mfh_ref, iqh_ref = refs[i : i + 2]
+        i += 2
+    (valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
+     meta_ref, phist_ref, mhist_ref, gate_ref, tstart_ref, tlast_ref,
+     tpidx_ref, tpval_ref) = refs[i:]
     it = pl.program_id(1)
+    h = max(int(hysteresis), 1)
+    Lg = L_true if L_global is None else L_global
 
     @pl.when(it == 0)
     def _():
-        phist_ref[...] = jnp.zeros_like(phist_ref)
-        mhist_ref[...] = jnp.zeros_like(mhist_ref)
         tm.event_scratch_init(
             gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
             tie_last=tie_last,
         )
+        if not with_init:
+            phist_ref[...] = jnp.zeros_like(phist_ref)
+            mhist_ref[...] = jnp.zeros_like(mhist_ref)
+        else:
+            # shard-init: run the neighbor's trailing WhR rows through the
+            # SAME datapath the main body uses (identical Mosaic ladders ->
+            # bit-identical history; see module docstring).  window_sum
+            # wrap garbage stays in rows < RF-1 (energy) and < RF-1 + W-1
+            # (CFAR sum); every consumed row is deeper than that.
+            mfh = mfh_ref[0]  # (C*WhR, LANES)
+            iqh = iqh_ref[0]
+            if iqh.dtype != jnp.float32:
+                iqh = iqh.astype(jnp.float32)
+            re_h = None
+            im_h = None
+            pls = []
+            for b in range(BR):
+                ih = iqh[(2 * b) * WhR : (2 * b + 1) * WhR]
+                qh = iqh[(2 * b + 1) * WhR : (2 * b + 2) * WhR]
+                ph = ih * ih + qh * qh
+                pls.append(ph[-HE:])
+                eh = tm.window_sum_rows(ph, RF)
+                inv = jnp.float32(1.0) / (
+                    jnp.float32(ref_norm)
+                    * jnp.sqrt(jnp.maximum(eh, jnp.float32(1e-12)))
+                )
+                rb = mfh[(2 * b) * WhR : (2 * b + 1) * WhR] * inv
+                ib = mfh[(2 * b + 1) * WhR : (2 * b + 2) * WhR] * inv
+                re_h = rb if re_h is None else re_h + rb
+                im_h = ib if im_h is None else im_h + ib
+            phist_ref[...] = jnp.concatenate(pls, axis=0)
+            magh = jnp.sqrt(re_h * re_h + im_h * im_h)
+            mhist_ref[...] = magh[-H:]
+
+            # gate priming from the halo's final h rows (exact CFAR
+            # decisions: their W-window local sums are fully supported)
+            localh = tm.window_sum_rows(magh, W)
+            rh = _row_iota(WhR)
+            gih = (base if base is not None else 0) - WhR + rh
+            aboveh = (
+                (rh >= WhR - h)
+                & (gih >= W)
+                & (magh * jnp.float32(1 << threshold_frac_bits)
+                   >= localh * jnp.float32(threshold_value))
+                & (magh >= jnp.float32(min_corr_mag))
+            )
+            la = jnp.max(
+                jnp.where(aboveh, jnp.broadcast_to(gih, (WhR, LANES)),
+                          jnp.int32(-1)),
+                axis=0, keepdims=True,
+            )  # (1, LANES); within h of the seam by construction
+            flag = (la >= 0).astype(jnp.int32)
+            grow = _row_iota(gate_ref.shape[0])
+            gate_ref[...] = jnp.where(
+                grow == 0,
+                jnp.broadcast_to(la, gate_ref.shape),
+                jnp.where(
+                    grow == 1, jnp.broadcast_to(flag, gate_ref.shape),
+                    gate_ref[...],
+                ),
+            )
 
     mf = mf_ref[0]  # (C*R, LANES)
     iq = iq_ref[0]
@@ -137,15 +236,18 @@ def _zc_iq_tm_kernel(
     mhist_ref[...] = mext[-H:]
     local_sum = tm.window_sum_rows(mext, W)[H:]  # (R, LANES)
 
-    gi_col = it * R + _row_iota(R)  # (R, 1)
+    gi_local = it * R + _row_iota(R)  # (R, 1) local sample index
+    gi_col = gi_local if base is None else gi_local + base  # global index
     valid = gi_col >= W
     above = (
         valid
         & (mag * jnp.float32(1 << threshold_frac_bits)
            >= local_sum * jnp.float32(threshold_value))
         & (mag >= jnp.float32(min_corr_mag))
-        & (gi_col < L_true)
+        & (gi_local < L_true)
     )
+    if base is not None:
+        above = above & (gi_col < Lg)
     if batch_last < LANES:
         # zero-padded streams in the last group: mag == 0 passes the CFAR
         # compare (0 >= 0) whenever min_corr_mag == 0; mask them so they
@@ -156,10 +258,17 @@ def _zc_iq_tm_kernel(
             | (lane < batch_last)
         )
 
+    # peak tracking stops at this shard's LOCAL stream end (padding rows
+    # carry partial-window garbage); close/validity semantics keep the
+    # global length in event_finalize (mirrors pallas_minn_tm._tm_kernel)
+    block_start = it * R if base is None else base + it * R
+    track_end = Lg if base is None else jnp.minimum(
+        jnp.int32(Lg), base + L_true
+    )
     tm.event_update(
-        above, mag, gi_col, it * R,
+        above, mag, gi_col, block_start,
         R=R, hysteresis=hysteresis, max_events=max_events,
-        tie_last=tie_last, L_true=L_true,
+        tie_last=tie_last, L_true=track_end,
         gate_ref=gate_ref, tstart_ref=tstart_ref, tlast_ref=tlast_ref,
         tpidx_ref=tpidx_ref, tpval_ref=tpval_ref,
     )
@@ -169,7 +278,7 @@ def _zc_iq_tm_kernel(
         tm.event_finalize(
             valid_ref, closed_ref, start_ref, close_ref, pidx_ref, pval_ref,
             meta_ref, gate_ref, tstart_ref, tlast_ref, tpidx_ref, tpval_ref,
-            hysteresis=hysteresis, max_events=max_events, L_true=L_true,
+            hysteresis=hysteresis, max_events=max_events, L_true=Lg,
             emit_unclosed=emit_unclosed,
         )
 
@@ -180,6 +289,7 @@ def _zc_iq_tm_kernel(
         "ref_len", "ref_norm", "corr_window", "threshold_value",
         "threshold_frac_bits", "min_corr_mag", "hysteresis", "max_events",
         "tie", "emit_unclosed", "rows", "stream_len", "batch", "interpret",
+        "stream_len_global",
     ),
 )
 def zc_iq_cfar_detect_tm(
@@ -200,6 +310,9 @@ def zc_iq_cfar_detect_tm(
     emit_unclosed: bool = True,
     rows: int = 4096,
     interpret: bool | None = None,
+    base_index: jax.Array | None = None,
+    stream_len_global: int | None = None,
+    shard_init: tuple | None = None,
 ):
     """Fully-fused time-major from-IQ ZC detection on tiled stream buffers.
 
@@ -208,8 +321,18 @@ def zc_iq_cfar_detect_tm(
     `stream_len` = L + ref_len - 1, padding rows zero).  mf_tiled is
     float32; iq_tiled may be float32 **or int16** (the ADC ingest dtype:
     half the IQ DMA bytes, converted in VMEM, bit-identical results).
-    Returns `GateEvents` with (batch, max_events) tables — the same
+    Returns `GateEvents` with (batch, max_events) tables -- the same
     semantics and defaults as `pallas_zc.zc_iq_cfar_detect_pallas`.
+
+    Shard mode: `base_index` (dynamic int32 scalar) is the global
+    correlation-output position of this shard's first sample;
+    `stream_len_global` the global length for close/validity semantics;
+    `shard_init` = (mf_halo, iq_halo), each (C, batch, Wh) with
+    Wh = `zc_tm_halo_rows(ref_len, corr_window, hysteresis)` --
+    right-aligned trailing rows of the LEFT neighbor's buffers (zeros for
+    shard 0).  The kernel pushes the halo through its own datapath at grid
+    step 0, so sharded tables are bit-identical to unsharded (no
+    XLA-priming float caveat).  Emitted indices are then global.
     """
     from ofdm_sync_tpu.ops.detect import GateEvents
 
@@ -240,11 +363,14 @@ def zc_iq_cfar_detect_tm(
     RF = ref_len
     HE = _round_up(max(RF, 8), 8)
     H = _round_up(max(W, 8), 8)
+    WhR = zc_tm_halo_rows(RF, W, hysteresis)
     SLOTR = _round_up(max_events, 8)
+    with_base = base_index is not None
+    with_init = shard_init is not None
 
     kernel = functools.partial(
         _zc_iq_tm_kernel,
-        BR=BR, C=C, R=R, RF=RF, W=W, HE=HE, H=H,
+        BR=BR, C=C, R=R, RF=RF, W=W, HE=HE, H=H, WhR=WhR,
         ref_norm=float(ref_norm),
         threshold_value=threshold_value,
         threshold_frac_bits=threshold_frac_bits,
@@ -255,6 +381,8 @@ def zc_iq_cfar_detect_tm(
         batch_last=batch - (G - 1) * LANES,
         tie_last=(tie == "last"),
         emit_unclosed=emit_unclosed,
+        L_global=stream_len_global,
+        with_base=with_base, with_init=with_init,
     )
     i32 = jnp.int32
     ev = lambda dt: jax.ShapeDtypeStruct((G, SLOTR, LANES), dt)  # noqa: E731
@@ -266,10 +394,31 @@ def zc_iq_cfar_detect_tm(
     blk_spec = pl.BlockSpec(
         (1, CR, LANES), lambda g, t, NT=NT: (g * NT + t, 0, 0)
     )
+    in_specs = [blk_spec, blk_spec]
+    operands = [mf_tiled, iq_tiled]
+    if with_init:
+        # (C, batch, Wh) halo pair -> per-group tiled rows (G, C*WhR, LANES)
+        mf_halo, iq_halo = shard_init
+        GB = G * LANES
+        hspec = pl.BlockSpec((1, C * WhR, LANES), lambda g, t: (g, 0, 0))
+
+        def tile_halo(hl):
+            hl = jnp.asarray(hl)
+            wl = min(hl.shape[-1], WhR)
+            hp = jnp.zeros((C, GB, WhR), hl.dtype)
+            hp = hp.at[:, :batch, WhR - wl :].set(hl[..., -wl:])
+            hp = hp.reshape(C, G, LANES, WhR).transpose(1, 0, 3, 2)
+            return hp.reshape(G, C * WhR, LANES)
+
+        in_specs += [hspec, hspec]
+        operands += [tile_halo(mf_halo), tile_halo(iq_halo)]
+    if with_base:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(0, jnp.asarray(base_index, i32).reshape(1))
     outs = pl.pallas_call(
         kernel,
         grid=(G, NT),
-        in_specs=[blk_spec, blk_spec],
+        in_specs=in_specs,
         out_specs=[ev_spec] * 7,
         out_shape=out_shape,
         scratch_shapes=[
@@ -285,7 +434,7 @@ def zc_iq_cfar_detect_tm(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(mf_tiled, iq_tiled)
+    )(*operands)
     valid, closed, start, close, pidx, pval, meta = tm.unpack_event_outputs(
         outs, G, SLOTR, batch
     )

@@ -1360,6 +1360,146 @@ def sharded_zc_cfar_detect(
     )
 
 
+def sharded_zc_iq_detect_tm(
+    mf_tiled: jax.Array,
+    iq_tiled: jax.Array,
+    mesh: Mesh,
+    *,
+    ref_len: int,
+    ref_norm: float,
+    stream_len: int,
+    channels: int = 4,
+    rows: int = 8192,
+    batch: int | None = None,
+    corr_window: int = 2048,
+    threshold_value: int | None = None,
+    threshold_frac_bits: int = 15,
+    min_corr_mag: float = 0.3,
+    hysteresis: int = 256,
+    max_events: int = 16,
+    tie: str = "first",
+    emit_unclosed: bool = True,
+    interpret: bool | None = None,
+):
+    """Multi-chip from-IQ ZC CFAR detection on the TIME-MAJOR kernel
+    (`pallas_zc_tm.zc_iq_cfar_detect_tm`): per seq shard, one left-halo
+    ppermute per buffer primes the kernel, the kernel pushes the halo
+    through its own datapath (bit-identical seams -- see the kernel's
+    shard-init contract), and the per-shard global tables stitch with the
+    single-all_gather table merge (`_merge_shard_event_tables`) -- the
+    same design as `sharded_minn_rtl_detect_fused_tm`, replacing the
+    per-sample merge of `sharded_zc_detect`.
+
+    mf_tiled / iq_tiled: the two tiled stream buffers reshaped to
+    (G, NT, C*rows, 128) -- i.e. `to_time_tiled(x, rows)[0].reshape(...)`.
+    mf float32; iq float32 or int16 (int16 halos stay int16 on the wire).
+    Groups of 128 streams shard over 'data', time blocks over 'seq';
+    `stream_len` is the true correlation length Lc (padding rows only in
+    the final seq shard).  Returns GateEvents with (G*128, E) tables
+    (sliced to `batch`), equal to the unsharded TM kernel.
+
+    Reference parity: zc_v2.py:244-336 (semantics unchanged).
+    """
+    from ofdm_sync_tpu.kernels.pallas_zc_tm import (
+        LANES, zc_iq_cfar_detect_tm, zc_tm_halo_rows,
+    )
+    from ofdm_sync_tpu.ops.detect import GateEvents
+
+    C = channels
+    R = rows
+    if mf_tiled.shape != iq_tiled.shape:
+        raise ValueError(
+            f"mf/iq tiled buffers must share a shape; got {mf_tiled.shape} "
+            f"vs {iq_tiled.shape}"
+        )
+    G, NT, CR, lanes = mf_tiled.shape
+    if CR != C * R or lanes != LANES:
+        raise ValueError(
+            f"buffers must be (G, NT, {C}*{R}, {LANES}); got {mf_tiled.shape}"
+        )
+    W = corr_window
+    if threshold_value is None:
+        threshold_value = int(4.0 * (1 << threshold_frac_bits) / W)
+    n_seq = mesh.shape["seq"]
+    n_data = mesh.shape["data"]
+    if NT % n_seq or G % n_data:
+        raise ValueError("G/NT not divisible by mesh (data, seq) axes")
+    NT_loc = NT // n_seq
+    block = NT_loc * R
+    h = max(int(hysteresis), 1)
+    Wh = zc_tm_halo_rows(ref_len, W, hysteresis)
+    if block < Wh:
+        raise ValueError(
+            f"seq shard of {block} samples is shorter than the Wh={Wh} "
+            "halo; use fewer seq shards or more rows"
+        )
+    if Wh > R:
+        raise ValueError(
+            f"halo Wh={Wh} must fit in one {R}-row block tail; raise rows"
+        )
+    L = stream_len
+    if L <= (n_seq - 1) * block:
+        raise ValueError("stream_len leaves a seq shard with no true samples")
+
+    def shard_fn(mf_blk, iq_blk):
+        # blk: (G_loc, NT_loc, C*R, LANES).  Halo = last Wh time rows per
+        # channel plane of the final local block of EACH buffer, one
+        # ppermute each to the right neighbor (iq int16 stays int16).
+        G_loc = mf_blk.shape[0]
+        B_loc = G_loc * LANES
+        sidx = jax.lax.axis_index("seq")
+
+        def left_halo(blk):
+            tail = blk[:, -1].reshape(G_loc, C, R, LANES)[:, :, R - Wh :]
+            from_left = jax.lax.ppermute(
+                tail, "seq", [(i, i + 1) for i in range(n_seq - 1)]
+            )
+            halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
+            # (G_loc, C, Wh, LANES) -> kernel contract (C, B_loc, Wh)
+            return halo.transpose(1, 0, 3, 2).reshape(C, B_loc, Wh)
+
+        mf_halo = left_halo(mf_blk)
+        iq_halo = left_halo(iq_blk)
+        shard_start = sidx * block
+
+        table = zc_iq_cfar_detect_tm(
+            mf_blk.reshape(G_loc * NT_loc, CR, LANES),
+            iq_blk.reshape(G_loc * NT_loc, CR, LANES),
+            ref_len=ref_len, ref_norm=ref_norm,
+            stream_len=block, batch=B_loc,
+            corr_window=W, threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+            min_corr_mag=min_corr_mag, hysteresis=hysteresis,
+            max_events=max_events, tie=tie,
+            emit_unclosed=True,  # boundary gates must surface for merging
+            rows=R, interpret=interpret,
+            base_index=shard_start, stream_len_global=L,
+            shard_init=(mf_halo, iq_halo),
+        )
+        return _merge_shard_event_tables(
+            table, axis_name="seq", h=h, E=max_events,
+            tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
+        )
+
+    spec_in = P("data", "seq", None, None)
+    rep = P("data")
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_in, spec_in),
+        out_specs=(rep,) * 8,
+        check_vma=False,
+    )
+    valid, closed, gs, gc, pi, pv, count, overflow = fn(mf_tiled, iq_tiled)
+    table = GateEvents(
+        valid=valid, closed=closed, gate_start=gs, gate_close=gc,
+        peak_idx=pi, peak_value=pv, count=count, overflow=overflow,
+    )
+    if batch is not None and batch < G * LANES:
+        table = jax.tree.map(lambda a: a[:batch], table)
+    return table
+
+
 def sharded_zc_detect(
     rx: jax.Array,
     mesh: Mesh,
