@@ -21,7 +21,7 @@ bench.py's headline quotes -- no kernel mixing:
       projected weak/strong-scaling efficiencies for 8 chips and 2 hosts,
       for both f32 and int16 (production ADC ingest) halos.
 
-Writes SCALING_r03.json and prints one JSON summary line.
+Writes SCALING_r04.json and prints one JSON summary line.
 """
 
 from __future__ import annotations
@@ -53,7 +53,7 @@ ICI_BW = 45e9    # v5e ICI per link-direction, ~50 GB/s class
 DCN_BW = 6.25e9  # 50 Gbps host NIC
 COLL_LAT_ICI = 2e-6
 COLL_LAT_DCN = 50e-6
-SINGLE_CHIP_SPS = 17.0e9  # bench.py driver-captured TM rate (samples/s/chip)
+SINGLE_CHIP_SPS = 16.0e9  # bench.py driver-captured TM rate (BENCH_r03.json)
 
 
 def _halo_width() -> int:
@@ -246,9 +246,22 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
 
     Projected for BOTH halo dtypes: f32 (the float bench workload) and
     int16 (the production ADC ingest dtype -- the sharded TM path keeps
-    int16 on the wire, verified bit-identical in part (b)).
+    int16 on the wire, verified bit-identical in part (b)), and for BOTH
+    schedules:
+
+    * serialized: halo ppermute -> kernel -> table all_gather, fully
+      dependent (the pre-round-4 path; kept as the lower bound).
+    * overlap (the shipping default, `overlap_halo=True`): only the
+      1-block remote-halo kernel call depends on the ppermute, so the
+      transfer hides behind the interior call's (NT_loc-1)/NT_loc of the
+      compute (structural independence in the program; XLA's latency-
+      hiding scheduler does the rest).  Exposed communication is the
+      small packed table all_gather plus whatever halo time exceeds the
+      interior compute:
+        t = max(t_interior, t_halo) + t_block0 + t_gather
     """
     batch, L = 512, 1 << 18
+    NT = L // ROWS      # time blocks per chip in the bench workload (32)
     # the PRODUCTION halo width (Q=512), NOT the CPU test's small-Q width
     W = _halo_width()
     t_comp = batch * L / SINGLE_CHIP_SPS
@@ -258,24 +271,40 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
     m18 = cpu_part["meshes"]["data1xseq8"]["collectives_per_dispatch"]
     rounds = sum(m18.values())
     halo_elems = C * batch * W          # == G_loc * C * W * LANES
+    E, K = 8, 1                         # packed-table all_gather payload
+    gather_bytes = batch * ((4 + K) * E + 2) * 4
 
-    def eff(tc, bw, lat, bytes_per_elem):
+    def eff_serial(tc, bw, lat, bytes_per_elem):
         t_comm = halo_elems * bytes_per_elem / bw + rounds * lat
         return tc / (tc * overhead_ratio + t_comm)
 
-    def block(bytes_per_elem):
+    def eff_overlap(tc, bw, lat, bytes_per_elem, nt):
+        t_halo = halo_elems * bytes_per_elem / bw + lat
+        t_gather = gather_bytes / bw + lat
+        t_int = tc * overhead_ratio * (nt - 1) / nt
+        t_blk0 = tc * overhead_ratio / nt
+        # clamp: a measured sub-1.0 mesh(1,1) overhead ratio (noise) can
+        # push the projection past 1.0; efficiency is capped at 1
+        return min(tc / (max(t_int, t_halo) + t_blk0 + t_gather), 1.0)
+
+    def block(bytes_per_elem, eff, nt_weak=NT):
+        def e(tc, bw, lat, nt):
+            if eff is eff_serial:
+                return round(eff_serial(tc, bw, lat, bytes_per_elem), 4)
+            return round(eff_overlap(tc, bw, lat, bytes_per_elem, nt), 4)
+
         return {
-            "weak_scaling_seq_8chip_ici": round(
-                eff(t_comp, ICI_BW, COLL_LAT_ICI, bytes_per_elem), 4
+            "weak_scaling_seq_8chip_ici": e(
+                t_comp, ICI_BW, COLL_LAT_ICI, nt_weak
             ),
-            "weak_scaling_seq_2host_dcn": round(
-                eff(t_comp, DCN_BW, COLL_LAT_DCN, bytes_per_elem), 4
+            "weak_scaling_seq_2host_dcn": e(
+                t_comp, DCN_BW, COLL_LAT_DCN, nt_weak
             ),
-            "strong_scaling_seq_8chip_ici": round(
-                eff(t_comp / 8, ICI_BW, COLL_LAT_ICI, bytes_per_elem), 4
+            "strong_scaling_seq_8chip_ici": e(
+                t_comp / 8, ICI_BW, COLL_LAT_ICI, max(nt_weak // 8, 1)
             ),
-            "strong_scaling_seq_2host_dcn": round(
-                eff(t_comp / 2, DCN_BW, COLL_LAT_DCN, bytes_per_elem), 4
+            "strong_scaling_seq_2host_dcn": e(
+                t_comp / 2, DCN_BW, COLL_LAT_DCN, max(nt_weak // 2, 1)
             ),
         }
 
@@ -292,6 +321,8 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
             "halo_width_samples": W,
             "halo_bytes_per_seq_shard_f32": halo_elems * 4,
             "halo_bytes_per_seq_shard_int16": halo_elems * 2,
+            "table_allgather_bytes_per_shard": gather_bytes,
+            "time_blocks_per_chip": NT,
         },
         "weak_scaling_data_parallel": {
             # no cross-stream communication in the detection path at all
@@ -300,8 +331,10 @@ def projection(cpu_part: dict, overhead_ratio: float = 1.05) -> dict:
             "efficiency_8chip": 1.0,
             "efficiency_2host": 1.0,
         },
-        "halo_f32": block(4),
-        "halo_int16": block(2),
+        "halo_f32": block(4, eff_overlap),
+        "halo_int16": block(2, eff_overlap),
+        "halo_f32_serialized": block(4, eff_serial),
+        "halo_int16_serialized": block(2, eff_serial),
     }
 
 
@@ -311,7 +344,7 @@ def main() -> None:
         print(json.dumps(part_cpu_mesh()))
         return
 
-    out_path = Path(__file__).parent / "SCALING_r03.json"
+    out_path = Path(__file__).parent / "SCALING_r04.json"
     cpu_part = None
     if os.environ.get("OFDM_SCALING_REUSE_CPU") == "1" and out_path.exists():
         # reuse the committed CPU-mesh equality/HLO results (they are

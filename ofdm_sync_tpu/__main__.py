@@ -44,10 +44,14 @@ def main(argv: list[str] | None = None) -> int:
         help="production receive chain on the fused Pallas [A][A] kernel: "
              "detect -> CFO from event table -> LS EQ -> EVM",
     )
-    p_rx.add_argument("--snr", type=float, default=10.0)
+    p_rx.add_argument("--family", default="aa", choices=("aa", "minn_rtl"),
+                      help="aa: 10 MHz [A][A] system; minn_rtl: the "
+                      "flagship Minn-RTL 30.72 MHz family on the "
+                      "time-major kernel")
+    p_rx.add_argument("--snr", type=float, default=None)
     p_rx.add_argument("--channel", default=None,
                       help="cir1 / cir2 / omit for AWGN")
-    p_rx.add_argument("--cfo", type=float, default=500.0)
+    p_rx.add_argument("--cfo", type=float, default=None)
     p_rx.add_argument("--preamble-len", type=int, default=1024)
     p_rx.add_argument("--num-frames", type=int, default=1)
     p_wave = sub.add_parser(
@@ -92,15 +96,24 @@ def main(argv: list[str] | None = None) -> int:
         return _waveform_cmd(args)
 
     if args.command == "fused_rx":
-        from ofdm_sync_tpu.pipelines.fused_rx import run_fused_rx
-
-        run_fused_rx(
-            snr_db=args.snr,
-            channel_name=args.channel,
-            cfo_hz=args.cfo,
-            preamble_length=args.preamble_len,
-            num_frames=args.num_frames,
+        from ofdm_sync_tpu.pipelines.fused_rx import (
+            run_fused_rx, run_fused_rx_minn_rtl,
         )
+
+        if args.family == "minn_rtl":
+            run_fused_rx_minn_rtl(
+                snr_db=args.snr if args.snr is not None else 0.0,
+                channel_name=args.channel,
+                cfo_hz=args.cfo if args.cfo is not None else 1000.0,
+            )
+        else:
+            run_fused_rx(
+                snr_db=args.snr if args.snr is not None else 10.0,
+                channel_name=args.channel,
+                cfo_hz=args.cfo if args.cfo is not None else 500.0,
+                preamble_length=args.preamble_len,
+                num_frames=args.num_frames,
+            )
         return 0
 
     # The reference-parity simulations are complex-dtype NumPy/JAX hybrids;

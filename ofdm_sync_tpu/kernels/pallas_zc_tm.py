@@ -103,6 +103,7 @@ def _zc_iq_tm_kernel(
     L_global: int | None = None,
     with_base: bool = False,
     with_init: bool = False,
+    fused_buf: bool = False,
 ):
     i = 0
     if with_base:
@@ -110,9 +111,16 @@ def _zc_iq_tm_kernel(
         i += 1
     else:
         base = None
-    mf_ref = refs[i]
-    iq_ref = refs[i + 1]
-    i += 2
+    if fused_buf:
+        # ONE interleaved buffer: [mf planes; iq planes] stacked row-major
+        # inside each block -- a single DMA stream (the two-stream form
+        # measures ~202 GB/s vs ~296 single-stream; tools/perf_probe10/12)
+        x_ref = refs[i]
+        i += 1
+    else:
+        mf_ref = refs[i]
+        iq_ref = refs[i + 1]
+        i += 2
     if with_init:
         mfh_ref, iqh_ref = refs[i : i + 2]
         i += 2
@@ -191,8 +199,13 @@ def _zc_iq_tm_kernel(
                 ),
             )
 
-    mf = mf_ref[0]  # (C*R, LANES)
-    iq = iq_ref[0]
+    if fused_buf:
+        x = x_ref[0]  # (2*C*R, LANES)
+        mf = x[: C * R]
+        iq = x[C * R :]
+    else:
+        mf = mf_ref[0]  # (C*R, LANES)
+        iq = iq_ref[0]
     if iq.dtype != jnp.float32:
         # int16 ADC ingest: half the IQ DMA bytes, converted in VMEM --
         # integer-valued floats, so results are bit-identical to a
@@ -294,7 +307,7 @@ def _zc_iq_tm_kernel(
 )
 def zc_iq_cfar_detect_tm(
     mf_tiled: jax.Array,
-    iq_tiled: jax.Array,
+    iq_tiled: jax.Array | None,
     *,
     ref_len: int,
     ref_norm: float,
@@ -313,6 +326,7 @@ def zc_iq_cfar_detect_tm(
     base_index: jax.Array | None = None,
     stream_len_global: int | None = None,
     shard_init: tuple | None = None,
+    branches: int = 2,
 ):
     """Fully-fused time-major from-IQ ZC detection on tiled stream buffers.
 
@@ -323,6 +337,16 @@ def zc_iq_cfar_detect_tm(
     half the IQ DMA bytes, converted in VMEM, bit-identical results).
     Returns `GateEvents` with (batch, max_events) tables -- the same
     semantics and defaults as `pallas_zc.zc_iq_cfar_detect_pallas`.
+
+    FUSED-BUFFER mode: pass ``iq_tiled=None`` and a single
+    (G*NT, 2*C*rows, 128) buffer in `mf_tiled` with the iq planes stacked
+    AFTER the mf planes inside each block ([mf rows; iq rows]).  Same
+    bytes, ONE DMA stream -- the production ingest writes iq planes and
+    the matched-filter pass writes its outputs into the mf planes of the
+    same (donated) buffer, so no extra copy exists end-to-end; measured
+    ~1.4x the two-buffer form (tools/perf_probe12, docs/design.md §8).
+    `branches` disambiguates C in this mode; no shard mode yet (the
+    two-buffer form carries the sharding contract).
 
     Shard mode: `base_index` (dynamic int32 scalar) is the global
     correlation-output position of this shard's first sample;
@@ -344,7 +368,8 @@ def zc_iq_cfar_detect_tm(
         interpret = jax.devices()[0].platform != "tpu"
     if max_events > LANES:
         raise ValueError(f"max_events must be <= {LANES}")
-    if mf_tiled.shape != iq_tiled.shape:
+    fused_buf = iq_tiled is None
+    if not fused_buf and mf_tiled.shape != iq_tiled.shape:
         raise ValueError(
             f"mf/iq tiled buffers must share a shape; got {mf_tiled.shape} "
             f"vs {iq_tiled.shape}"
@@ -353,8 +378,20 @@ def zc_iq_cfar_detect_tm(
     R = rows
     nblk, CR, lanes = mf_tiled.shape
     assert lanes == LANES, f"tiled buffer must have {LANES} lanes"
-    C = CR // R
-    assert C * R == CR, (C, R, CR)
+    if fused_buf:
+        if shard_init is not None:
+            raise NotImplementedError(
+                "fused-buffer mode has no shard contract; use the "
+                "two-buffer form for seq sharding"
+            )
+        C = 2 * branches
+        if CR != 2 * C * R:
+            raise ValueError(
+                f"fused buffer must have 2*{C}*{R} plane rows; got {CR}"
+            )
+    else:
+        C = CR // R
+        assert C * R == CR, (C, R, CR)
     BR = C // 2
     NT = _round_up(stream_len, R) // R
     G = nblk // NT
@@ -382,7 +419,7 @@ def zc_iq_cfar_detect_tm(
         tie_last=(tie == "last"),
         emit_unclosed=emit_unclosed,
         L_global=stream_len_global,
-        with_base=with_base, with_init=with_init,
+        with_base=with_base, with_init=with_init, fused_buf=fused_buf,
     )
     i32 = jnp.int32
     ev = lambda dt: jax.ShapeDtypeStruct((G, SLOTR, LANES), dt)  # noqa: E731
@@ -394,8 +431,12 @@ def zc_iq_cfar_detect_tm(
     blk_spec = pl.BlockSpec(
         (1, CR, LANES), lambda g, t, NT=NT: (g * NT + t, 0, 0)
     )
-    in_specs = [blk_spec, blk_spec]
-    operands = [mf_tiled, iq_tiled]
+    if fused_buf:
+        in_specs = [blk_spec]
+        operands = [mf_tiled]
+    else:
+        in_specs = [blk_spec, blk_spec]
+        operands = [mf_tiled, iq_tiled]
     if with_init:
         # (C, batch, Wh) halo pair -> per-group tiled rows (G, C*WhR, LANES)
         mf_halo, iq_halo = shard_init

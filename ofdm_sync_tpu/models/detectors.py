@@ -191,6 +191,91 @@ class MinnRTLDetector:
         ]
         return state, DetectionResult(events=events, gate_mask=np.asarray(gmask))
 
+    @partial(
+        jax.jit,
+        static_argnums=0,
+        static_argnames=("frame_len", "max_frames", "rows", "stream_len",
+                         "interpret"),
+    )
+    def _fused_frames_jit(
+        self, planar, *, frame_len, max_frames, rows, stream_len, interpret
+    ):
+        from ofdm_sync_tpu.kernels.pallas_minn_tm import (
+            minn_rtl_detect_fused_tm, to_time_tiled,
+        )
+        from ofdm_sync_tpu.ops.extract import extract_frames
+
+        p = self.params
+        xt, _, _ = to_time_tiled(planar, rows)
+        table = minn_rtl_detect_fused_tm(
+            xt,
+            quarter_len=p.quarter_len,
+            smooth_shift=p.smooth_shift,
+            threshold_value=p.threshold_value,
+            threshold_frac_bits=p.threshold_frac_bits,
+            hysteresis=p.hysteresis,
+            stream_len=stream_len,
+            batch=1,
+            max_events=self.max_events,
+            rows=rows,
+            interpret=interpret,
+        )
+        table0 = jax.tree.map(lambda a: a[0], table)
+        # window opens at the frame's S0 start: the RTL peak sits at
+        # s0 + 6Q (preamble 5Q + pilot CP Q; reference minn_rtl.py:93-103,
+        # 943-953), so frame_start = peak + timing_offset - 6Q
+        frames, starts, valid = extract_frames(
+            planar[:, 0], table0,
+            frame_len=frame_len,
+            timing_offset=p.timing_offset - 6 * p.quarter_len,
+            max_frames=max_frames,
+        )
+        return table0, frames, starts, valid
+
+    def detect_fused_frames(
+        self, rx, *, frame_len: int, max_frames: int = 4, rows: int = 4096,
+        interpret: bool | None = None,
+    ):
+        """FLAGSHIP receive chain front half: the time-major fused kernel
+        (`pallas_minn_tm`, the bench.py headline kernel) detects, then the
+        R4 output contract re-emits each aligned frame window ON DEVICE
+        (circular buffer + timer queue of ref/minn_preamble_detector.sv:
+        445-530, re-expressed as `ops.extract`'s capacity-bounded batched
+        dynamic-slice).
+
+        rx: (branches, L) complex or (L,).  Windows open at the frame's S0
+        start (peak + timing_offset - 6Q, the geometry of reference
+        minn_rtl.py:943-953) and span ``frame_len`` samples.  Returns
+        ``(result, frames, starts, valid)`` with frames planar
+        ``(max_frames, 2*branches, frame_len)`` float32 (axon-fetchable).
+        """
+        # planarize in NumPy (a complex array must never touch the axon
+        # device: it cannot be transferred back)
+        x = np.asarray(rx)
+        if x.ndim == 1:
+            x = x[None, :]
+        L = x.shape[-1]
+        planar = jnp.asarray(
+            np.stack([c for a in range(x.shape[0])
+                      for c in (x[a].real, x[a].imag)]).astype(np.float32)
+        )[:, None, :]  # (C=2*branches, batch=1, L)
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        table0, frames, starts, valid = self._fused_frames_jit(
+            planar, frame_len=frame_len, max_frames=max_frames, rows=rows,
+            stream_len=L, interpret=interpret,
+        )
+        events = [
+            DetectionEvent(
+                detected_start=e["peak_index"] + self.params.timing_offset, **e
+            )
+            for e in events_from_table(table0, L, gate_end_mode="close_excl")
+        ]
+        result = DetectionResult(events=events, gate_mask=None)
+        return (
+            result, np.asarray(frames), np.asarray(starts), np.asarray(valid)
+        )
+
 
 # ---------------------------------------------------------------------------
 # D4: Park

@@ -854,6 +854,7 @@ def sharded_minn_rtl_detect_fused_tm(
     tie: str = "last",
     emit_unclosed: bool = False,
     interpret: bool | None = None,
+    overlap_halo: bool | None = None,
 ):
     """Multi-chip Minn-RTL detection on the FLAGSHIP time-major kernel
     (`pallas_minn_tm.minn_rtl_detect_fused_tm`, the headline-rate kernel):
@@ -876,6 +877,19 @@ def sharded_minn_rtl_detect_fused_tm(
     metric pass, same `_merge_shard_event_tables`); only the kernel and
     the halo's row-layout slicing differ.  Reference parity:
     ref/minn_preamble_detector.sv:247-384 (semantics unchanged).
+
+    HALO OVERLAP (`overlap_halo`, default on when NT_loc >= 2): only the
+    FIRST local time block needs the neighbor's halo, so the kernel is
+    split into an interior call over blocks 1..NT_loc-1 -- primed from the
+    shard's OWN block-0 tail, hence with NO data dependence on the
+    ppermute -- and a 1-block call primed by the remote halo; the two
+    tables are stitched with the same seam rule (`_merge_stacked_event_
+    tables`, no collective) before the cross-shard merge.  XLA's latency-
+    hiding scheduler can then run the halo transfer concurrently with the
+    interior call ((NT_loc-1)/NT_loc of the shard's work), hiding the DCN
+    halo entirely for NT_loc >= ~2; see bench_scaling.py's overlap
+    projection.  Event tables are identical either way (the local split
+    uses the exact seam machinery the shard seams use).
     """
     from ofdm_sync_tpu.kernels.pallas_minn_tm import (
         LANES, minn_rtl_detect_fused_tm,
@@ -912,6 +926,40 @@ def sharded_minn_rtl_detect_fused_tm(
     L = stream_len
     if L <= (n_seq - 1) * block:
         raise ValueError("stream_len leaves a seq shard with no true samples")
+    if overlap_halo is None:
+        overlap_halo = NT_loc >= 2
+
+    def prime_from_tail(tail_f32, first_index):
+        """(carry, gate, hist) kernel priming from the W samples preceding
+        global position `first_index`; tail_f32: (G_loc, C, W, LANES)."""
+        G_loc = tail_f32.shape[0]
+        B_loc = G_loc * LANES
+        hb = tail_f32.transpose(0, 3, 1, 2).reshape(B_loc, C // 2, 2, W)
+        st = minn_rtl_metric_planar(
+            hb, quarter_len=Q, smooth_shift=smooth_shift,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+        )
+        carry_init = st.smooth_metric[..., -1]
+        gi_tail = first_index - h + jnp.arange(h, dtype=jnp.int32)
+        above_tail = st.above_threshold[..., -h:] & (gi_tail >= valid_from)
+        gate_init = _gate_init_from_tail(above_tail, gi_tail)
+        hist_init = tail_f32.transpose(1, 0, 3, 2).reshape(C, B_loc, W)
+        return hist_init, carry_init, gate_init
+
+    def run_kernel(blk_part, n_blocks, base, B_loc, init):
+        return minn_rtl_detect_fused_tm(
+            blk_part.reshape(blk_part.shape[0] * n_blocks, CR, LANES),
+            quarter_len=Q, smooth_shift=smooth_shift,
+            threshold_value=threshold_value,
+            threshold_frac_bits=threshold_frac_bits,
+            hysteresis=hysteresis, stream_len=n_blocks * R, batch=B_loc,
+            max_events=max_events, tie=tie,
+            emit_unclosed=True,  # boundary gates must surface for merging
+            rows=R, interpret=interpret,
+            base_index=base, stream_len_global=L,
+            shard_init=init,
+        )
 
     def shard_fn(blk):
         # blk: (G_loc, NT_loc, C*R, LANES).  Halo = last W time rows per
@@ -926,33 +974,48 @@ def sharded_minn_rtl_detect_fused_tm(
         )
         halo = jnp.where(sidx > 0, from_left, jnp.zeros_like(from_left))
         halo = halo.astype(jnp.float32)  # (G_loc, C, W, LANES)
-
-        # prime: tiny XLA metric pass over the halo in natural layout
-        hb = halo.transpose(0, 3, 1, 2).reshape(B_loc, C // 2, 2, W)
-        st = minn_rtl_metric_planar(
-            hb, quarter_len=Q, smooth_shift=smooth_shift,
-            threshold_value=threshold_value,
-            threshold_frac_bits=threshold_frac_bits,
-        )
-        carry_init = st.smooth_metric[..., -1]
         shard_start = sidx * block
-        gi_tail = shard_start - h + jnp.arange(h, dtype=jnp.int32)
-        above_tail = st.above_threshold[..., -h:] & (gi_tail >= valid_from)
-        gate_init = _gate_init_from_tail(above_tail, gi_tail)
-        hist_init = halo.transpose(1, 0, 3, 2).reshape(C, B_loc, W)
 
-        table = minn_rtl_detect_fused_tm(
-            blk.reshape(G_loc * NT_loc, CR, LANES),
-            quarter_len=Q, smooth_shift=smooth_shift,
-            threshold_value=threshold_value,
-            threshold_frac_bits=threshold_frac_bits,
-            hysteresis=hysteresis, stream_len=block, batch=B_loc,
-            max_events=max_events, tie=tie,
-            emit_unclosed=True,  # boundary gates must surface for merging
-            rows=R, interpret=interpret,
-            base_index=shard_start, stream_len_global=L,
-            shard_init=(hist_init, carry_init, gate_init),
-        )
+        if not overlap_halo:
+            table = run_kernel(
+                blk, NT_loc, shard_start, B_loc,
+                prime_from_tail(halo, shard_start),
+            )
+        else:
+            # interior blocks 1..NT_loc-1: primed from the shard's OWN
+            # block-0 tail -- no dependence on the ppermute, so the halo
+            # transfer hides behind this ((NT_loc-1)/NT_loc of the work)
+            tail0 = blk[:, 0].reshape(G_loc, C, R, LANES)[:, :, R - W :]
+            tab_rest = run_kernel(
+                blk[:, 1:], NT_loc - 1, shard_start + R, B_loc,
+                prime_from_tail(tail0.astype(jnp.float32), shard_start + R),
+            )
+            # first block: the only consumer of the remote halo
+            tab_0 = run_kernel(
+                blk[:, :1], 1, shard_start, B_loc,
+                prime_from_tail(halo, shard_start),
+            )
+            # stitch the local pair with the seam rule (no collective)
+            stk = lambda a, b: jnp.stack([a, b])  # noqa: E731
+            merged = _merge_stacked_event_tables(
+                (
+                    stk(tab_0.gate_start, tab_rest.gate_start),
+                    stk(tab_0.gate_close, tab_rest.gate_close),
+                    stk(tab_0.peak_idx, tab_rest.peak_idx),
+                    stk(tab_0.peak_value, tab_rest.peak_value),
+                    stk(tab_0.closed, tab_rest.closed),
+                    stk(tab_0.count, tab_rest.count),
+                    stk(tab_0.overflow, tab_rest.overflow),
+                ),
+                h=h, E=max_events, K=1, tie_last=(tie == "last"),
+                emit_unclosed=True,
+            )
+            from ofdm_sync_tpu.ops.detect import GateEvents as _GE
+            table = _GE(
+                valid=merged[0], closed=merged[1], gate_start=merged[2],
+                gate_close=merged[3], peak_idx=merged[4],
+                peak_value=merged[5], count=merged[6], overflow=merged[7],
+            )
         return _merge_shard_event_tables(
             table, axis_name="seq", h=h, E=max_events,
             tie_last=(tie == "last"), emit_unclosed=emit_unclosed,
@@ -1019,7 +1082,22 @@ def _merge_shard_event_tables(
         gf32, gall[..., 3 * E : 4 * E].astype(bool),
         gall[..., 4 * E], gall[..., 4 * E + 1].astype(bool),
     )
-    n_seq = gathered[0].shape[0]
+    return _merge_stacked_event_tables(
+        gathered, h=h, E=E, K=K, tie_last=tie_last,
+        emit_unclosed=emit_unclosed,
+    )
+
+
+def _merge_stacked_event_tables(
+    gathered, *, h: int, E: int, K: int, tie_last: bool, emit_unclosed: bool,
+):
+    """Collective-free core of `_merge_shard_event_tables`: merge event
+    tables stacked on a leading axis, in time order.  `gathered` is
+    (start, close, peak_idx, packed_f32(K*E), closed, count, overflow),
+    each (n_pieces, B, ...).  Also used WITHOUT a collective to stitch a
+    shard's own first-block table onto its interior-blocks table (the
+    halo-overlap split -- the same seam rule applies at the local split)."""
+    i32 = jnp.int32
     B = gathered[0].shape[1]
     slot = jnp.arange(E, dtype=i32)[None, :]
 

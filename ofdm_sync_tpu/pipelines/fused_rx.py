@@ -220,24 +220,174 @@ def run_fused_rx(
     )
 
 
+def run_fused_rx_minn_rtl(
+    snr_db: float = 0.0,
+    channel_name: str | None = None,
+    cfo_hz: float = 1000.0,
+    seed: int = 0,
+    interpret: bool | None = None,
+) -> FusedRxResult:
+    """FLAGSHIP receive chain: the Minn-RTL 30.72 MHz family end-to-end on
+    the time-major fused kernel (bench.py's headline kernel).
+
+    Two-frame stimulus (reference minn_rtl.py:884-889: [pad | frame |
+    guard | frame]) -> `pallas_minn_tm` fused detect -> device-side
+    aligned frame re-emission (`ops.extract`; the output contract of
+    ref/minn_preamble_detector.sv:445-530) -> per frame: CP-based CFO
+    estimate on the pilot CP -> LS channel estimate from the pilot symbol
+    -> equalize the data symbol -> EVM.  Frame windows open at the frame's
+    S0 start (reference minn_rtl.py:943-953 geometry: RTL peak at
+    s0 + 6Q).
+    """
+    from ofdm_sync_tpu.params import MinnRTLParams, SYS_30M72
+    from ofdm_sync_tpu.models.detectors import MinnRTLDetector
+    from ofdm_sync_tpu.ops.estimate import estimate_cfo_from_cp
+    from ofdm_sync_tpu.ops.waveforms import build_minn_rtl_preamble
+    from ofdm_sync_tpu.pipelines import common
+
+    sys_p = SYS_30M72
+    params = MinnRTLParams()
+    Q = params.quarter_len
+    fs = sys_p.sample_rate_hz
+    rng = np.random.default_rng(seed)
+    cpu = jax.devices("cpu")[0]
+
+    # frame synthesis + channel are complex-valued: pin to the CPU backend
+    # (the experimental axon TPU backend cannot transfer complex buffers)
+    with jax.default_device(cpu):
+        preamble = build_minn_rtl_preamble(
+            params.seq_type, rng, Q=Q, sys=sys_p
+        )
+        setup = common.build_setup(
+            preamble, rng, sys=sys_p, channel_name=channel_name,
+            cir_mode="two", snr_db=snr_db, cfo_hz=cfo_hz, two_frames=True,
+        )
+    frame_len = setup.extras["frame_len"]
+    # margin so the SECOND frame's window fits after channel group delay
+    # (extract_frames clips windows into the stream)
+    margin = sys_p.cp_len + 256
+    rx = np.concatenate(
+        [setup.rx, np.zeros((setup.rx.shape[0], margin), setup.rx.dtype)],
+        axis=-1,
+    )
+    true_starts = [
+        sys_p.tx_pre_pad + setup.channel_peak_offset,
+        sys_p.tx_pre_pad + 2 * frame_len + setup.channel_peak_offset,
+    ]
+
+    det = MinnRTLDetector(sys_p, params)
+    result, frames_dev, starts, valid = det.detect_fused_frames(
+        rx, frame_len=frame_len, max_frames=4, interpret=interpret,
+    )
+
+    channel_str = channel_name if channel_name else "awgn"
+    report.banner(
+        f"FUSED-KERNEL RECEIVE CHAIN - MINN-RTL Q={Q} (30.72 MHz), "
+        f"{channel_str.upper()}, SNR {snr_db:+.0f} dB"
+    )
+    print(f"Stream: {rx.shape[1]} samples x {rx.shape[0]} branch(es), "
+          f"2 frames sent, frame_len {frame_len}; detector: time-major "
+          f"fused kernel (pallas_minn_tm)")
+    if not valid.any():
+        print("NO DETECTION -- receiver idle")
+        return FusedRxResult(False, -1, float("nan"), float("nan"),
+                             float("nan"))
+
+    n_det = int(valid.sum())
+    print(f"\nDetection (in-kernel event table -> device-side frame "
+          f"re-emission, {n_det} frame window(s)):")
+
+    n_fft, cp = sys_p.n_fft, sys_p.cp_len
+    pre_len = 5 * Q
+    pilot_cp_off = pre_len                       # local frame layout
+    pilot_n_off = pilot_cp_off + cp
+    data_cp_off = pilot_n_off + n_fft
+    data_n_off = data_cp_off + cp
+
+    frame_results: list[FrameResult] = []
+    for k in range(n_det):
+        tstart = true_starts[k] if k < len(true_starts) else true_starts[-1]
+        timing_err = int(starts[k]) - tstart
+        fp = frames_dev[k]  # planar (2*BR, frame_len) float32
+        with jax.default_device(cpu):
+            ants = np.stack([
+                fp[2 * b] + 1j * fp[2 * b + 1]
+                for b in range(fp.shape[0] // 2)
+            ])
+            cfo_est = float(estimate_cfo_from_cp(
+                jnp.asarray(ants, jnp.complex64), pilot_cp_off, n_fft, cp, fs
+            ))
+            cfo_err = cfo_est - cfo_hz
+            ants_c = np.asarray(
+                apply_cfo(jnp.asarray(ants, jnp.complex64), -cfo_est, fs)
+            )
+            combined = ants_c.mean(axis=0)
+            pilot_bins = np.asarray(ofdm_fft_used(
+                jnp.asarray(combined[pilot_n_off:pilot_n_off + n_fft]),
+                sys_p,
+            ))
+            data_bins = np.asarray(ofdm_fft_used(
+                jnp.asarray(combined[data_n_off:data_n_off + n_fft]), sys_p,
+            ))
+            h_est = np.asarray(
+                ls_channel_estimate(pilot_bins, jnp.asarray(setup.pilot_used))
+            )
+            eq = np.asarray(equalize(data_bins, jnp.asarray(h_est)))
+            eq_aligned, gain = align_complex_gain(
+                jnp.asarray(eq), jnp.asarray(setup.data_used)
+            )
+            evm_rms, evm_db = evm_rms_db(
+                eq_aligned, jnp.asarray(setup.data_used)
+            )
+            evm_pct, evm_db = 100.0 * float(evm_rms), float(evm_db)
+        frame_results.append(
+            FrameResult(timing_err, float(cfo_err), evm_pct, evm_db)
+        )
+        print(f"  Frame {k}: start {int(starts[k])} (true {tstart}, "
+              f"error {timing_err:+d}), CFO {cfo_est:.2f} Hz "
+              f"(error {cfo_err:+.2f}), EVM {evm_pct:.2f}% "
+              f"({evm_db:.2f} dB)")
+
+    if result.events:
+        e0 = result.events[0]
+        print(f"\n  Gate [{e0.gate_start}, {e0.gate_end}), peak metric "
+              f"{e0.peak_value:.0f}, events={len(result.events)}")
+    print(report.BANNER)
+    first = frame_results[0]
+    return FusedRxResult(
+        True, first.timing_error, first.cfo_error_hz, first.evm_pct,
+        first.evm_db, frames=frame_results,
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--snr", type=float, default=SNR_DB)
+    ap.add_argument("--family", default="aa", choices=("aa", "minn_rtl"),
+                    help="aa: 10 MHz [A][A] system; minn_rtl: the flagship "
+                    "Minn-RTL 30.72 MHz family on the time-major kernel")
+    ap.add_argument("--snr", type=float, default=None)
     ap.add_argument("--channel", default=None,
                     help="cir1 / cir2 / omit for AWGN")
-    ap.add_argument("--cfo", type=float, default=CFO_HZ)
+    ap.add_argument("--cfo", type=float, default=None)
     ap.add_argument("--preamble-len", type=int, default=PREAMBLE_LEN)
     ap.add_argument("--num-frames", type=int, default=1)
     args = ap.parse_args(argv)
-    run_fused_rx(
-        snr_db=args.snr,
-        channel_name=args.channel,
-        cfo_hz=args.cfo,
-        preamble_length=args.preamble_len,
-        num_frames=args.num_frames,
-    )
+    if args.family == "minn_rtl":
+        run_fused_rx_minn_rtl(
+            snr_db=args.snr if args.snr is not None else 0.0,
+            channel_name=args.channel,
+            cfo_hz=args.cfo if args.cfo is not None else 1000.0,
+        )
+    else:
+        run_fused_rx(
+            snr_db=args.snr if args.snr is not None else SNR_DB,
+            channel_name=args.channel,
+            cfo_hz=args.cfo if args.cfo is not None else CFO_HZ,
+            preamble_length=args.preamble_len,
+            num_frames=args.num_frames,
+        )
 
 
 if __name__ == "__main__":

@@ -36,3 +36,15 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop jit/trace caches between test FILES: accumulated compiled
+    programs inflate later compiles ~3-5x on this single-core image
+    (measured: test_pallas_minn.py quick tests run 84 s alone but ~245 s
+    late in the full suite).  Shapes rarely repeat across files, so the
+    recompiles this forces are ones the suite paid anyway."""
+    yield
+    if os.environ.get("OFDM_TEST_NO_CACHE_CLEAR", "0") != "1":
+        jax.clear_caches()

@@ -98,3 +98,20 @@ def test_fused_rx_cli():
     from ofdm_sync_tpu.__main__ import main
 
     assert main(["fused_rx", "--snr", "15"]) == 0
+
+
+def test_fused_rx_minn_rtl_two_frames():
+    """FLAGSHIP receive chain (VERDICT r3 item 7): the Minn-RTL 30.72 MHz
+    family end-to-end on the time-major fused kernel -- two-frame stimulus
+    (reference minn_rtl.py:884-889), TM detect, device-side frame
+    re-emission (ref/minn_preamble_detector.sv:445-530 output contract),
+    CP-CFO + LS EQ + EVM per frame."""
+    from ofdm_sync_tpu.pipelines.fused_rx import run_fused_rx_minn_rtl
+
+    r = run_fused_rx_minn_rtl(snr_db=30.0, cfo_hz=1000.0)
+    assert r.detected
+    assert len(r.frames) == 2          # BOTH frames recovered
+    for fr in r.frames:
+        assert abs(fr.timing_error) <= 2   # AWGN: peak lands at s0 + 6Q
+        assert abs(fr.cfo_error_hz) < 30.0
+        assert fr.evm_pct < 6.0            # ~ noise floor at 30 dB SNR

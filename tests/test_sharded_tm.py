@@ -61,6 +61,9 @@ def _tables_equal(ref, out, batch):
 def _run_pair(x, mesh, batch, **kw):
     kwargs = dict(KW)
     kwargs.update(kw)
+    shard_only = {
+        k: kwargs.pop(k) for k in ("overlap_halo",) if k in kwargs
+    }
     cl = jnp.asarray(x)
     xt, G, NTx = to_time_tiled(cl, R)
     assert NTx == NT
@@ -68,7 +71,7 @@ def _run_pair(x, mesh, batch, **kw):
         xt, **kwargs, rows=R, stream_len=L, batch=batch,
     )
     out = sharded_minn_rtl_detect_fused_tm(
-        xt.reshape(G, NT, 4 * R, 128), mesh, **kwargs,
+        xt.reshape(G, NT, 4 * R, 128), mesh, **kwargs, **shard_only,
         stream_len=L, rows=R, batch=batch, interpret=True,
     )
     return ref, out
@@ -185,6 +188,30 @@ def test_sharded_tm_seam_fuzz(rng):
                 np.asarray(getattr(ref, f))[b][:k],
                 err_msg=f"{f} {tag}",
             )
+
+
+@pytest.mark.slow
+def test_sharded_tm_halo_overlap_split(rng):
+    """The halo-overlap split (interior blocks primed locally, block 0 by
+    the remote halo, tables stitched without a collective) is exact: events
+    planted ON each shard's INTERNAL block0|interior seam (shard_start + R)
+    produce tables equal to both the non-overlap sharded path and the
+    unsharded kernel."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_stream_mesh(n_data=1, n_seq=N_SEQ,
+                            devices=jax.devices()[:N_SEQ])
+    batch = 4
+    # peak regions straddle the local split seam of shards 0..3
+    events = [(0, R - 3 * Q), (1, BLOCK + R - 2 * Q),
+              (2, 2 * BLOCK + R - 4 * Q), (3, 3 * BLOCK + R - Q)]
+    x = _stimulus(rng, batch, events)
+    ref, out_ov = _run_pair(x, mesh, batch)  # overlap default: NT_loc 2
+    _, out_seq = _run_pair(x, mesh, batch, overlap_halo=False)
+    for b in range(batch):
+        assert int(ref.count[b]) >= 1, b
+    _tables_equal(ref, out_ov, batch)
+    _tables_equal(ref, out_seq, batch)
 
 
 @pytest.mark.slow
