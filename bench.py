@@ -514,10 +514,42 @@ def _secondary_kernels(batch: int, stream_len: int) -> None:
             outq = fq(mft, iqt)
         int(np.asarray(outq).sum())
         zc_iq_sps = batch * stream_len * 4 / (time.perf_counter() - t0)
+        del mft, iqt
+
+        # END-TO-END from-IQ: overlap-save XLA matched filter (1.37x the
+        # monolithic FFT -- tools/perf_probe13.py) producing |corr| planes.
+        # The mf FFT pass, NOT the kernel, bounds this path (probe12/13:
+        # mf ~0.5-0.7 G vs kernel 6.5-6.8 G); reported separately so the
+        # headline kernel number and the e2e story stay distinct.
+        from ofdm_sync_tpu.ops.channel import fft_convolve_full_ols
+
+        mf_batch = 64
+        tmpl = np.exp(
+            -1j * np.pi * 25 * np.arange(RF) * (np.arange(RF) + 1) / RF
+        ).astype(np.complex64)
+        kern = np.conj(tmpl[::-1])
+        xe = jax.jit(
+            lambda k: jax.random.normal(
+                k, (2, BRANCHES, mf_batch, stream_len), jnp.float32
+            )
+        )(jax.random.key(5))
+        xe.block_until_ready()
+        fe = jax.jit(
+            lambda v: jnp.sum(jnp.abs(
+                fft_convolve_full_ols(v[0] + 1j * v[1], jnp.asarray(kern))
+            ))
+        )
+        float(np.asarray(fe(xe)))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            oute = fe(xe)
+        float(np.asarray(oute))
+        zc_mf_sps = mf_batch * stream_len * 3 / (time.perf_counter() - t0)
         print(
             f"bench secondary: aa_fused={aa_sps / 1e6:.0f}M samples/s "
             f"zc_cfar={zc_sps / 1e6:.0f}M samples/s "
-            f"zc_iq_tm={zc_iq_sps / 1e6:.0f}M samples/s",
+            f"zc_iq_tm={zc_iq_sps / 1e6:.0f}M samples/s "
+            f"zc_mf_ols={zc_mf_sps / 1e6:.0f}M samples/s",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover

@@ -436,11 +436,23 @@ def park_metric(
 # ZC matched filter (time domain) (reference zc.py:106-130, zc_v2.py:244-271)
 # ---------------------------------------------------------------------------
 
-def matched_filter(rx: jax.Array, reference: jax.Array) -> jax.Array:
-    """Per-branch full correlation with the conjugate-reversed reference."""
+def matched_filter(
+    rx: jax.Array, reference: jax.Array, block: int | None = None
+) -> jax.Array:
+    """Per-branch full correlation with the conjugate-reversed reference.
+
+    block: overlap-save block size for the TPU production path (batched
+    small FFTs, measured 1.37x the monolithic transform at the 2048-tap
+    PSS shape -- tools/perf_probe13.py); None keeps the monolithic
+    bit-parity form the reference pipelines are asserted against."""
     x = _as2d(rx)
     ref = jnp.asarray(reference, x.dtype)
-    return fft_convolve_full(x, jnp.conj(ref[::-1])[None, :])
+    taps = jnp.conj(ref[::-1])
+    if block is not None:
+        from ofdm_sync_tpu.ops.channel import fft_convolve_full_ols
+
+        return fft_convolve_full_ols(x, taps, block)
+    return fft_convolve_full(x, taps[None, :])
 
 
 def sliding_energy_full(rx: jax.Array, window: int) -> jax.Array:

@@ -1603,7 +1603,9 @@ def sharded_zc_detect(
     on the unsharded magnitudes truncated to L (up to FFT float
     association; tests use clear peaks).
     """
-    from ofdm_sync_tpu.ops.channel import fft_convolve_full
+    from ofdm_sync_tpu.ops.channel import (
+        fft_convolve_full, fft_convolve_full_ols,
+    )
     from ofdm_sync_tpu.ops.detect import GateEvents
 
     ref = jnp.asarray(reference)
@@ -1633,8 +1635,13 @@ def sharded_zc_detect(
         ext = halo_exchange(blk, halo, 0, "seq")
         # matched filter ('full' conv index k uses x[k-R+1 .. k]); slice so
         # lane i corresponds to windows ending at ext index R-1+i, i.e.
-        # global correlation outputs [s*block - W, s*block + block)
-        conv = fft_convolve_full(ext, kern)
+        # global correlation outputs [s*block - W, s*block + block).
+        # Long shards use overlap-save (batched small FFTs, 1.37x the
+        # monolithic transform on v5e -- tools/perf_probe13.py).
+        if ext.shape[-1] >= 1 << 16 and kern.ndim == 1:
+            conv = fft_convolve_full_ols(ext, kern)
+        else:
+            conv = fft_convolve_full(ext, kern)
         num = conv[..., R - 1 : R - 1 + W + block]
         p = jnp.abs(ext) ** 2
         cs = jnp.cumsum(p, axis=-1)

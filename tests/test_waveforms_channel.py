@@ -115,6 +115,44 @@ def test_fft_convolve_matches_numpy(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_fft_convolve_ols_matches_monolithic(rng):
+    """Overlap-save convolution (the TPU production matched-filter form,
+    tools/perf_probe13.py) == the monolithic-FFT form up to f32 rounding,
+    including windows straddling block seams and the ragged last block."""
+    T = 96
+    for L in (900, 1024 - T + 1, 2000):  # ragged / exact-multiple / long
+        x = (rng.standard_normal((2, L))
+             + 1j * rng.standard_normal((2, L))).astype(np.complex64)
+        h = (rng.standard_normal(T)
+             + 1j * rng.standard_normal(T)).astype(np.complex64)
+        want = np.asarray(
+            Ch.fft_convolve_full(jnp.asarray(x), jnp.asarray(h)[None])
+        )
+        got = np.asarray(
+            Ch.fft_convolve_full_ols(jnp.asarray(x), jnp.asarray(h),
+                                     block=1024)
+        )
+        assert got.shape == want.shape == (2, L + T - 1)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-5 * scale)
+
+
+def test_matched_filter_block_param(rng):
+    """metrics.matched_filter(block=...) routes through overlap-save and
+    matches the default monolithic path."""
+    from ofdm_sync_tpu.ops import metrics as M
+
+    x = (rng.standard_normal((2, 1500))
+         + 1j * rng.standard_normal((2, 1500))).astype(np.complex64)
+    ref = (rng.standard_normal(128)
+           + 1j * rng.standard_normal(128)).astype(np.complex64)
+    a = np.asarray(M.matched_filter(jnp.asarray(x), jnp.asarray(ref)))
+    b = np.asarray(
+        M.matched_filter(jnp.asarray(x), jnp.asarray(ref), block=512)
+    )
+    np.testing.assert_allclose(b, a, rtol=0, atol=3e-5 * np.abs(a).max())
+
+
 def test_load_measured_cir():
     cir = Ch.load_measured_cir("cir1")
     assert cir.shape == (2, 1100)
