@@ -25,7 +25,10 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["check_minn_rtl", "check_zc_iq", "run_all"]
+__all__ = [
+    "check_minn_rtl", "check_zc_iq", "check_aa", "check_mf_mxu",
+    "check_sharded_tm", "run_all",
+]
 
 # flagship Minn-RTL configuration (BASELINE.md primary metric)
 _Q = 512
@@ -282,6 +285,214 @@ def check_zc_iq(batch: int = 128, L: int = 16384, ref_len: int = 2048,
     }
 
 
+def check_aa(batch: int = 64, L: int = 16384, half_len: int = 512,
+             seed: int = 2) -> dict:
+    """AA fused kernel (Mosaic-compiled) == XLA datapath: event table plus
+    the in-kernel CFO side channels ((P_re, P_im) and M captured at the
+    peak -- reference sync_aa.py:504-555; these drive
+    cfo = angle(P) fs / (2 pi L) and the quality report)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ofdm_sync_tpu.kernels.pallas_aa import aa_detect_fused_pallas
+    from ofdm_sync_tpu.ops import metrics as M
+    from ofdm_sync_tpu.ops.detect import extract_gate_events
+    from ofdm_sync_tpu.ops.waveforms import build_aa_preamble
+    from ofdm_sync_tpu.params import SYS_AA_10M
+
+    total = 2 * half_len
+    pre, _, _ = build_aa_preamble(total, SYS_AA_10M)
+    pre_i = np.round(24.0 * pre.real).astype(np.float32)
+    pre_q = np.round(24.0 * pre.imag).astype(np.float32)
+
+    rng = np.random.default_rng(seed)
+    del rng  # stimulus is generated on device (tunnel moves ~18 MB/s)
+
+    def build(key):
+        x = jnp.round(
+            2.0 * jax.random.normal(key, (4, batch, L), jnp.float32)
+        )
+        for b, pos in [(0, 2048), (1, L // 2), (2, L - 4 * total)]:
+            for c, plane in ((0, pre_i), (1, pre_q), (2, pre_i), (3, pre_q)):
+                x = x.at[c, b, pos : pos + total].add(3.0 * jnp.asarray(plane))
+        return x
+
+    iq = jax.jit(build)(jax.random.key(seed))  # (4, batch, L) planar
+
+    maxe = _MAXE
+    hyst = 128
+    thr = 0.15
+
+    ftab, fP, fM = jax.jit(
+        lambda v: aa_detect_fused_pallas(
+            v, half_len=half_len, threshold=thr, hysteresis=hyst,
+            max_events=maxe, block=4096, channel_leading=True,
+        )
+    )(iq)
+
+    @jax.jit
+    def xla_run(v):
+        def one(stream):  # (4, L) planar -> complex branches on device
+            rx = jnp.stack(
+                [stream[0] + 1j * stream[1], stream[2] + 1j * stream[3]]
+            )
+            state = M.aa_metric(rx, half_len)
+            above = state.valid & (state.M >= thr)
+            track = jnp.abs(state.P) ** 2
+            table = extract_gate_events(
+                above, track, hysteresis=hyst, max_events=maxe,
+                tie="first", emit_unclosed=True,
+            )
+            P_pk = state.P[table.peak_idx]
+            return table, jnp.stack(
+                [jnp.real(P_pk), jnp.imag(P_pk)]
+            ), state.M[table.peak_idx]
+
+        return jax.vmap(one, in_axes=1)(v)
+
+    xtab, xP, xM = xla_run(iq)
+
+    errs = _table_diff(xtab, ftab, name_ref="xla", name_out="aa_fused")
+    for name, a, b, tol in (
+        ("P_at_peak", np.asarray(xP, np.float64), np.asarray(fP, np.float64),
+         2e-4),
+        ("M_at_peak", np.asarray(xM, np.float64), np.asarray(fM, np.float64),
+         2e-4),
+    ):
+        mask = np.asarray(xtab.valid, bool)
+        if name == "P_at_peak":
+            mask = np.broadcast_to(mask[:, None, :], a.shape)
+        av, bv = a[mask], b[mask]
+        scale = max(1.0, float(np.abs(av).max(initial=0.0)))
+        if not np.allclose(bv, av, atol=tol * scale, rtol=tol):
+            errs.append(
+                f"aa_fused vs xla: {name} max|diff|="
+                f"{float(np.abs(bv - av).max(initial=0.0)):.3e} "
+                f"(scale {scale:.3e})"
+            )
+    total_ev = int(np.asarray(ftab.count).sum())
+    return {
+        "name": "aa",
+        "ok": not errs,
+        "errors": errs,
+        "events_total": total_ev,
+        "batch": batch,
+        "L": L,
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def check_mf_mxu(batch: int = 8, L: int = 65536, T: int = 2048,
+                 seed: int = 3) -> dict:
+    """MXU matmul-DFT matched filter (kernels.pallas_mf, Mosaic-compiled)
+    vs host float64 convolution and the on-chip XLA overlap-save FFT, at
+    each path's documented tolerance (bf16x3 ~1e-5 of peak; XLA f32 FFT
+    ~1e-6).  Integer-valued stimulus; reference semantics zc_v2.py:244-254."""
+    import jax
+    import jax.numpy as jnp
+
+    from ofdm_sync_tpu.kernels.pallas_mf import matched_filter_mxu
+    from ofdm_sync_tpu.ops.channel import fft_convolve_full_ols
+
+    rng = np.random.default_rng(seed)
+    t = np.exp(-1j * np.pi * 25 * np.arange(T) * (np.arange(T) + 1) / T)
+    taps = (np.round(16.0 * t.real) + 1j * np.round(16.0 * t.imag)).astype(
+        np.complex128
+    )
+    x = np.round(6.0 * rng.standard_normal((4, batch, L))).astype(np.float32)
+
+    # host float64 golden (one batched FFT convolution)
+    Lc = L + T - 1
+    nfft = 1 << int(np.ceil(np.log2(Lc)))
+    xc = (x[0::2] + 1j * x[1::2]).astype(np.complex128)
+    K = np.fft.fft(taps, nfft)
+    g = np.fft.ifft(np.fft.fft(xc, nfft, axis=-1) * K, axis=-1)[..., :Lc]
+    scale = float(np.abs(g).max())
+
+    xd = jnp.asarray(x)
+    y = np.asarray(
+        jax.jit(
+            lambda v: matched_filter_mxu(v, taps.astype(np.complex64))
+        )(xd)
+    )
+    yc = (y[0::2] + 1j * y[1::2]).astype(np.complex128)
+
+    tp = jnp.asarray(
+        np.stack([taps.real, taps.imag]).astype(np.float32)
+    )  # planar taps: complex arrays cannot cross the axon host boundary
+
+    @jax.jit
+    def xla_ols(v, t):
+        c = fft_convolve_full_ols(v[0::2] + 1j * v[1::2], t[0] + 1j * t[1])
+        return jnp.stack([jnp.real(c), jnp.imag(c)])
+
+    z = np.asarray(xla_ols(xd, tp))  # (2, 2, batch, Lc)
+    zc = (z[0] + 1j * z[1]).astype(np.complex128)
+
+    errs: list[str] = []
+    mxu_err = float(np.abs(yc - g).max()) / scale
+    xla_err = float(np.abs(zc - g).max()) / scale
+    if mxu_err > 5e-5:
+        errs.append(f"mf_mxu vs host f64: rel err {mxu_err:.3e} > 5e-5")
+    if xla_err > 5e-6:
+        errs.append(f"xla_ols vs host f64: rel err {xla_err:.3e} > 5e-6")
+    return {
+        "name": "mf_mxu",
+        "ok": not errs,
+        "errors": errs,
+        "mxu_rel_err": mxu_err,
+        "xla_rel_err": xla_err,
+        "batch": batch,
+        "L": L,
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def check_sharded_tm(batch: int = 128, L: int = 16384, rows: int = 8192,
+                     seed: int = 4) -> dict:
+    """Mesh(1,1) Mosaic-compiled SHARDED flagship path
+    (`parallel.shard.sharded_minn_rtl_detect_fused_tm`, the shipping
+    overlap-halo schedule) == the unsharded TM kernel, on the real device.
+    The CPU-mesh dryrun validates multi-shard semantics; this closes the
+    'no sharded path is ever compiled on the chip' hole (round-4 VERDICT
+    item 5)."""
+    import jax
+
+    from ofdm_sync_tpu.kernels.pallas_minn_tm import (
+        LANES, minn_rtl_detect_fused_tm, to_time_tiled,
+    )
+    from ofdm_sync_tpu.parallel.shard import (
+        make_stream_mesh, sharded_minn_rtl_detect_fused_tm,
+    )
+
+    cl = _minn_stimulus(batch, L, seed)
+    kw = dict(_KW, max_events=_MAXE, tie="last", emit_unclosed=False)
+    tiled = to_time_tiled(cl, rows)[0]
+    tm_tab = jax.jit(
+        lambda v: minn_rtl_detect_fused_tm(
+            v, **kw, rows=rows, stream_len=L, batch=batch
+        )
+    )(tiled)
+
+    G = batch // LANES
+    NT = tiled.shape[0] // G
+    mesh = make_stream_mesh(1, 1, devices=jax.devices()[:1])
+    sh_tab = sharded_minn_rtl_detect_fused_tm(
+        tiled.reshape(G, NT, *tiled.shape[1:]), mesh, **kw,
+        rows=rows, stream_len=L, batch=batch,
+    )
+    errs = _table_diff(tm_tab, sh_tab, name_ref="tm", name_out="sharded_tm")
+    return {
+        "name": "sharded_tm",
+        "ok": not errs,
+        "errors": errs,
+        "events_total": int(np.asarray(sh_tab.count).sum()),
+        "batch": batch,
+        "L": L,
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def run_all(small: bool = False) -> dict:
     """Run every on-chip triangle; returns {checked, ok, details}.
 
@@ -294,6 +505,9 @@ def run_all(small: bool = False) -> dict:
     else:
         results.append(check_minn_rtl())
         results.append(check_zc_iq())
+        results.append(check_aa())
+        results.append(check_mf_mxu())
+        results.append(check_sharded_tm())
     ok = all(r["ok"] for r in results)
     return {"checked": True, "ok": ok, "details": results}
 

@@ -41,6 +41,14 @@ Accuracy: the matmul-DFT at f32 (Mosaic's native f32 matmul) matches the
 XLA FFT overlap-save to ~1e-7 of peak; `precision` exposes the faster
 multi-pass bf16 modes measured in tools/perf_probe14.py (HIGH ~4e-5,
 DEFAULT ~4e-3 of peak).
+
+Measured on v5e (T=2048, L=2^18, 64 complex stream pairs, best-of-3,
+same interleaved window as the XLA form): ~2.0x the XLA overlap-save
+FFT (`ops.channel.fft_convolve_full_ols`) -- 1006M vs 514M
+samples/s in the round-5 window; absolute rates swing ~2x with the
+documented tunnel phases (design.md section 7).  nb sweep {1,2,4,8}:
+flat within ~8%; DEFAULT bf16 adds ~15% over bf16x3 (see BENCH_r05
+`zc_mf_mxu` for the driver-recorded figure).
 """
 
 from __future__ import annotations
@@ -250,7 +258,7 @@ def matched_filter_mxu(
     *,
     out_len: int | None = None,
     precision: str = "bf16x3",
-    nb: int = 4,
+    nb: int = 2,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Full linear convolution of planar complex streams with `taps` on the
@@ -276,6 +284,14 @@ def matched_filter_mxu(
     if isinstance(taps, np.ndarray) and np.iscomplexobj(taps):
         taps = np.stack(
             [taps.real.astype(np.float32), taps.imag.astype(np.float32)]
+        )
+    elif isinstance(taps, jax.Array) and jnp.iscomplexobj(taps):
+        # traced complex taps (e.g. conj(ref[::-1]) inside a jitted caller):
+        # split on device -- only host<->device complex transfers are the
+        # axon limitation, on-device complex algebra is fine
+        taps = jnp.stack(
+            [jnp.real(taps).astype(jnp.float32),
+             jnp.imag(taps).astype(jnp.float32)]
         )
     taps = jnp.asarray(taps, jnp.float32)
     if taps.ndim == 1:

@@ -49,9 +49,45 @@ from ofdm_sync_tpu.ops.waveforms import (
 _C64 = jnp.complex64
 
 
+def _dev_complex(a) -> jax.Array:
+    """Host complex -> device complex64.  The axon backend cannot transfer
+    complex dtypes host<->device (UNIMPLEMENTED); ship the planes as
+    float32 and recombine on device, where complex algebra is fully
+    supported."""
+    a = np.asarray(a)
+    if np.iscomplexobj(a):
+        re = jnp.asarray(np.ascontiguousarray(a.real, np.float32))
+        im = jnp.asarray(np.ascontiguousarray(a.imag, np.float32))
+        return (re + 1j * im).astype(_C64)
+    return jnp.asarray(a, _C64)
+
+
 def _dev(rx) -> jax.Array:
-    x = jnp.asarray(rx, _C64)
+    x = rx if isinstance(rx, jax.Array) else _dev_complex(rx)
+    x = x.astype(_C64)
     return x[None, :] if x.ndim == 1 else x
+
+
+def _planar(rx) -> jax.Array:
+    """Complex (L,) / (B, L), host or device -> planar float32 (2B, L) with
+    rows [b0_re, b0_im, b1_re, b1_im, ...].  Host input is split BEFORE the
+    transfer (the axon backend cannot move complex buffers across the
+    device boundary)."""
+    if isinstance(rx, jax.Array):
+        x = rx[None] if rx.ndim == 1 else rx
+        return jax.jit(
+            lambda v: jnp.stack(
+                [jnp.real(v).astype(jnp.float32),
+                 jnp.imag(v).astype(jnp.float32)], axis=1
+            ).reshape(2 * v.shape[0], v.shape[-1])
+        )(x)
+    a = np.asarray(rx)
+    if a.ndim == 1:
+        a = a[None]
+    out = np.empty((2 * a.shape[0], a.shape[-1]), np.float32)
+    out[0::2] = a.real
+    out[1::2] = a.imag
+    return jnp.asarray(out)
 
 
 # ---------------------------------------------------------------------------
@@ -329,7 +365,7 @@ class ZCTimeDetector:
 
     @partial(jax.jit, static_argnums=0)
     def _detect_jit(self, rx):
-        ref = jnp.asarray(self.reference_waveform(), _C64)
+        ref = _dev_complex(self.reference_waveform())
         corr, mag = M.zc_normalized_correlation(rx, ref)
         return corr, mag, jnp.argmax(mag)
 
@@ -372,11 +408,11 @@ class ZCFreqDetector:
         bins, tmpl = self.template()
         if self.form == "sliding":
             return M.zc_freq_metric_sliding(
-                rx, jnp.asarray(tmpl, _C64), bins, self.sys.n_fft,
+                rx, _dev_complex(tmpl), bins, self.sys.n_fft,
                 self.sys.cp_len,
             )
         return M.zc_freq_metric(
-            rx, jnp.asarray(tmpl, _C64), bins, self.sys.n_fft, self.sys.cp_len,
+            rx, _dev_complex(tmpl), bins, self.sys.n_fft, self.sys.cp_len,
             chunk=self.chunk,
         )
 
@@ -397,6 +433,11 @@ class ZCStreamingDetector:
     params: ZCStreamingParams = ZCStreamingParams()
     max_events: int = 16
     normalize: bool = True
+    #: matched-filter backend for `detect_fused_iq`: 'xla' = FFT convolution
+    #: (bit-parity baseline), 'mxu' = the Pallas matmul-DFT overlap-save
+    #: kernel (`kernels.pallas_mf`, ~2x the FFT rate on v5e, ~1e-5 of
+    #: peak), 'auto' = mxu on TPU when the template fits, else xla
+    mf_mode: str = "auto"
 
     def reference_waveform(self) -> np.ndarray:
         return build_pss_symbol(
@@ -407,7 +448,7 @@ class ZCStreamingDetector:
     def _correlate(self, rx):
         """Matched filter + (optional) per-branch normalization -- the one
         definition shared by the XLA and fused paths."""
-        ref = jnp.asarray(self.reference_waveform(), _C64)
+        ref = _dev_complex(self.reference_waveform())
         if self.normalize:
             corr = M.zc_normalized_correlation_per_branch(rx, ref)
         else:
@@ -489,44 +530,63 @@ class ZCStreamingDetector:
         return DetectionResult(events=events)
 
     def detect_fused_iq(self, rx) -> DetectionResult:
-        """From-IQ fused path: XLA FFT matched filter, then ONE Pallas pass
-        for per-branch sliding energy + normalization + branch sum +
-        magnitude + CFAR + event FSM (`kernels.pallas_zc.
-        zc_iq_cfar_detect_pallas`) -- none of the five full-length
-        intermediates of the XLA form touch HBM.  Requires
-        ``normalize=True`` (the per-branch zc_v2 flavour, reference
-        zc_v2.py:486-498).  Same events as `detect` (tests assert)."""
+        """From-IQ fused path: matched filter (MXU matmul-DFT kernel or XLA
+        FFT, `mf_mode`), then ONE Pallas pass for per-branch sliding energy
+        + normalization + branch sum + magnitude + CFAR + event FSM
+        (`kernels.pallas_zc.zc_iq_cfar_detect_pallas`) -- none of the five
+        full-length intermediates of the XLA form touch HBM.  Planar
+        end-to-end: complex buffers never cross the jit/device boundary
+        (the axon TPU backend supports complex only INSIDE a compiled
+        computation).  Requires ``normalize=True`` (the per-branch zc_v2
+        flavour, reference zc_v2.py:486-498).  Same events as `detect`
+        (tests assert)."""
+        from ofdm_sync_tpu.kernels.pallas_mf import MAX_TAPS, matched_filter_mxu
         from ofdm_sync_tpu.kernels.pallas_zc import zc_iq_cfar_detect_pallas
+        from ofdm_sync_tpu.ops.channel import fft_convolve_full
 
         if not self.normalize:
             return self.detect_fused(rx)
-        x = _dev(rx)
-        if x.ndim == 1:
-            x = x[None]
-        ref = jnp.asarray(self.reference_waveform(), _C64)
-        mf = M.matched_filter(x, ref)  # (BR, Lc) complex
-        mf_planar = jnp.stack(
-            [p for b in range(mf.shape[0]) for p in (mf[b].real, mf[b].imag)],
-            axis=0,
-        )[:, None, :]
-        iq_planar = jnp.stack(
-            [p for b in range(x.shape[0]) for p in (x[b].real, x[b].imag)],
-            axis=0,
-        ).astype(jnp.float32)[:, None, :]
-        table = zc_iq_cfar_detect_pallas(
-            mf_planar,
-            iq_planar,
-            ref_len=int(ref.shape[-1]),
-            ref_norm=float(jnp.sqrt(jnp.sum(jnp.abs(ref) ** 2))),
-            corr_window=self.params.corr_window,
-            threshold_value=self.params.threshold_value,
-            threshold_frac_bits=self.params.threshold_frac_bits,
-            min_corr_mag=self.params.min_corr_mag,
-            hysteresis=self.params.hysteresis,
-            max_events=self.max_events,
-        )
+        ref_np = np.asarray(self.reference_waveform(), np.complex64)
+        R = int(ref_np.shape[-1])
+        # host-side norm: device->host scalar fetches derived from complex
+        # ops are UNIMPLEMENTED on the axon backend
+        ref_norm = float(np.sqrt(np.sum(np.abs(ref_np) ** 2)))
+        # conjugate-reversed taps, planar float32 (reference zc_v2.py:249)
+        kern_planar = jnp.asarray(np.stack(
+            [ref_np.real[::-1], -ref_np.imag[::-1]]
+        ).astype(np.float32))
+        iq_planar = _planar(rx)[:, None, :]  # (2B, 1, L)
+        mode = self.mf_mode
+        if mode == "auto":
+            on_tpu = jax.devices()[0].platform == "tpu"
+            mode = "mxu" if (on_tpu and R <= MAX_TAPS) else "xla"
+
+        def compute(iqp, kp):
+            if mode == "mxu":
+                # planar in, planar out: no complex intermediate in HBM
+                mfp = matched_filter_mxu(iqp, kp)
+            else:
+                xc = iqp[0::2, 0] + 1j * iqp[1::2, 0]  # (B, L) complex
+                mf = fft_convolve_full(xc, (kp[0] + 1j * kp[1])[None])
+                mfp = jnp.stack(
+                    [jnp.real(mf), jnp.imag(mf)], axis=1
+                ).reshape(2 * mf.shape[0], 1, mf.shape[-1])
+            return zc_iq_cfar_detect_pallas(
+                mfp,
+                iqp,
+                ref_len=R,
+                ref_norm=ref_norm,
+                corr_window=self.params.corr_window,
+                threshold_value=self.params.threshold_value,
+                threshold_frac_bits=self.params.threshold_frac_bits,
+                min_corr_mag=self.params.min_corr_mag,
+                hysteresis=self.params.hysteresis,
+                max_events=self.max_events,
+            )
+
+        table = jax.jit(compute)(iq_planar, kern_planar)
         table = jax.tree.map(lambda a: a[0], table)
-        n = int(mf.shape[-1])
+        n = int(iq_planar.shape[-1]) + R - 1
         ref_len = self.sys.n_fft
         events = [
             DetectionEvent(

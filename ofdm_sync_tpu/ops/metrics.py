@@ -437,17 +437,35 @@ def park_metric(
 # ---------------------------------------------------------------------------
 
 def matched_filter(
-    rx: jax.Array, reference: jax.Array, block: int | None = None
+    rx: jax.Array,
+    reference: jax.Array,
+    block: int | None = None,
+    mxu: bool = False,
+    mxu_precision: str = "bf16x3",
 ) -> jax.Array:
     """Per-branch full correlation with the conjugate-reversed reference.
 
     block: overlap-save block size for the TPU production path (batched
     small FFTs, measured 1.37x the monolithic transform at the 2048-tap
     PSS shape -- tools/perf_probe13.py); None keeps the monolithic
-    bit-parity form the reference pipelines are asserted against."""
+    bit-parity form the reference pipelines are asserted against.
+
+    mxu=True routes through the Pallas MXU matmul-DFT overlap-save kernel
+    (`kernels.pallas_mf.matched_filter_mxu`, ~2x the OLS FFT rate on
+    v5e at the 2048-tap PSS shape, same-window, ~1e-5 of peak at the default bf16x3
+    precision); requires taps length <= `pallas_mf.MAX_TAPS`."""
     x = _as2d(rx)
     ref = jnp.asarray(reference, x.dtype)
     taps = jnp.conj(ref[::-1])
+    if mxu:
+        from ofdm_sync_tpu.kernels.pallas_mf import matched_filter_mxu
+
+        xp = jnp.stack(
+            [jnp.real(x).astype(jnp.float32),
+             jnp.imag(x).astype(jnp.float32)], axis=1
+        ).reshape(2 * x.shape[0], 1, x.shape[-1])
+        y = matched_filter_mxu(xp, taps, precision=mxu_precision)
+        return (y[0::2, 0] + 1j * y[1::2, 0]).astype(x.dtype)
     if block is not None:
         from ofdm_sync_tpu.ops.channel import fft_convolve_full_ols
 

@@ -1591,6 +1591,7 @@ def sharded_zc_detect(
     max_events: int = 16,
     tie: str = "first",
     emit_unclosed: bool = True,
+    mf_mode: str = "auto",
 ):
     """End-to-end sharded ZC streaming detection from complex IQ.
 
@@ -1602,11 +1603,20 @@ def sharded_zc_detect(
     end is dropped -- and equal `kernels.pallas_zc.zc_cfar_detect_pallas`
     on the unsharded magnitudes truncated to L (up to FFT float
     association; tests use clear peaks).
+
+    mf_mode selects the per-shard matched-filter backend: 'xla' = FFT
+    convolution (monolithic below 2^16 samples, overlap-save above),
+    'mxu' = the Pallas matmul-DFT kernel (`kernels.pallas_mf`, ~2x the
+    OLS FFT rate on v5e, same-window; interpret-mode on CPU meshes), 'auto' = mxu on
+    TPU for long shards with a fitting template, else xla.
     """
     from ofdm_sync_tpu.ops.channel import (
         fft_convolve_full, fft_convolve_full_ols,
     )
     from ofdm_sync_tpu.ops.detect import GateEvents
+    from ofdm_sync_tpu.kernels.pallas_mf import (
+        MAX_TAPS, matched_filter_mxu,
+    )
 
     ref = jnp.asarray(reference)
     R = ref.shape[-1]
@@ -1630,15 +1640,33 @@ def sharded_zc_detect(
     h = max(int(hysteresis), 1)
     eps = jnp.float32(1e-12)
 
+    if mf_mode == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        mf_mode = (
+            "mxu"
+            if (on_tpu and kern.ndim == 1 and R <= MAX_TAPS
+                and block + halo >= 1 << 15)
+            else "xla"
+        )
+
     def shard_fn(blk):
         # blk: (B_loc, BR, block) complex
         ext = halo_exchange(blk, halo, 0, "seq")
         # matched filter ('full' conv index k uses x[k-R+1 .. k]); slice so
         # lane i corresponds to windows ending at ext index R-1+i, i.e.
         # global correlation outputs [s*block - W, s*block + block).
-        # Long shards use overlap-save (batched small FFTs, 1.37x the
-        # monolithic transform on v5e -- tools/perf_probe13.py).
-        if ext.shape[-1] >= 1 << 16 and kern.ndim == 1:
+        # Long shards use the MXU matmul-DFT kernel (kernels.pallas_mf,
+        # ~2x the OLS FFT rate, same-window) or overlap-save batched small FFTs
+        # (1.37x the monolithic transform -- tools/perf_probe13.py).
+        if mf_mode == "mxu":
+            B_loc, BR_l, ext_len = ext.shape
+            xp = jnp.stack(
+                [jnp.real(ext).astype(jnp.float32),
+                 jnp.imag(ext).astype(jnp.float32)], axis=0
+            ).reshape(2, B_loc * BR_l, ext_len)
+            y = matched_filter_mxu(xp, kern)
+            conv = (y[0] + 1j * y[1]).reshape(B_loc, BR_l, -1)
+        elif ext.shape[-1] >= 1 << 16 and kern.ndim == 1:
             conv = fft_convolve_full_ols(ext, kern)
         else:
             conv = fft_convolve_full(ext, kern)

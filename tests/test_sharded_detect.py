@@ -321,6 +321,51 @@ def test_sharded_zc_detect_from_iq(rng):
         )
 
 
+def test_sharded_zc_detect_mxu_mf_matches_xla(rng):
+    """The sharded ZC path with the MXU matmul-DFT matched filter
+    (mf_mode='mxu', kernels.pallas_mf) emits the same events as the XLA FFT
+    matched filter (reference zc_v2.py:244-271 semantics unchanged)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ofdm_sync_tpu.ops.waveforms import build_pss_symbol
+    from ofdm_sync_tpu.parallel.shard import sharded_zc_detect
+    from ofdm_sync_tpu.params import SYS_30M72
+
+    ref = build_pss_symbol(SYS_30M72)  # 2048 samples
+    R = ref.shape[-1]
+    W = 1024
+    L_sig, batch = 16384, 2
+    rx = np.zeros((batch, 2, L_sig), complex)
+    for b in range(batch):
+        pos = L_sig // 4 - R // 2 + 128 * b
+        rx[b, :, pos:pos + R] = np.stack([ref, 0.8 * ref])
+    rx += 0.01 * (
+        rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+    )
+
+    kw = dict(corr_window=W, min_corr_mag=0.1, hysteresis=64, max_events=8)
+    mesh = make_stream_mesh(n_data=2, n_seq=4)
+    t_x = sharded_zc_detect(
+        jnp.asarray(rx), mesh, reference=ref, mf_mode="xla", **kw
+    )
+    t_m = sharded_zc_detect(
+        jnp.asarray(rx), mesh, reference=ref, mf_mode="mxu", **kw
+    )
+    for b in range(batch):
+        k = int(t_x.count[b])
+        assert int(t_m.count[b]) == k and k >= 1, (b, k)
+        for f in ("gate_start", "gate_close", "peak_idx", "valid", "closed"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(t_m, f))[b][:k],
+                np.asarray(getattr(t_x, f))[b][:k],
+                err_msg=f"{f} stream {b}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(t_m.peak_value)[b][:k],
+            np.asarray(t_x.peak_value)[b][:k], rtol=1e-4,
+        )
+
+
 @pytest.mark.slow
 def test_sharded_aa_fused_channel_leading(rng):
     """channel_leading sharded AA path == natural-layout sharded AA path."""
