@@ -245,7 +245,7 @@ def _tm_kernel(
         "quarter_len", "smooth_shift", "threshold_value",
         "threshold_frac_bits", "hysteresis", "max_events", "tie",
         "emit_unclosed", "rows", "stream_len", "batch", "interpret",
-        "stream_len_global",
+        "stream_len_global", "in_block_stride", "in_block_offset",
     ),
 )
 def minn_rtl_detect_fused_tm(
@@ -266,6 +266,8 @@ def minn_rtl_detect_fused_tm(
     base_index: jax.Array | None = None,
     stream_len_global: int | None = None,
     shard_init: tuple | None = None,
+    in_block_stride: int | None = None,
+    in_block_offset: int = 0,
 ):
     """Fully-fused time-major Minn-RTL detection on a tiled stream buffer.
 
@@ -295,8 +297,16 @@ def minn_rtl_detect_fused_tm(
     C = CR // R
     assert C * R == CR, (C, R, CR)
     NT = _round_up(stream_len, R) // R
-    G = nblk // NT
-    assert G * NT == nblk, (G, NT, nblk)
+    # in_block_stride/in_block_offset: process NT consecutive blocks starting
+    # at per-group block `in_block_offset` of a buffer laid out with
+    # `in_block_stride` blocks per group -- the index_map does the skipping,
+    # so callers (the sharded overlap split) never pay a slice COPY of the
+    # stream buffer to run the kernel on a block subrange
+    stride = NT if in_block_stride is None else in_block_stride
+    G = nblk // stride
+    assert G * stride == nblk, (G, stride, nblk)
+    assert 0 <= in_block_offset and in_block_offset + NT <= stride, (
+        in_block_offset, NT, stride)
     Q = quarter_len
     valid_from = max(0, 3 * Q - 1)
     alpha = 1.0 / (1 << smooth_shift) if smooth_shift > 0 else 1.0
@@ -327,7 +337,10 @@ def minn_rtl_detect_fused_tm(
     ]
     ev_spec = pl.BlockSpec((1, SLOTR, LANES), lambda g, t: (g, 0, 0))
     in_specs = [
-        pl.BlockSpec((1, CR, LANES), lambda g, t, NT=NT: (g * NT + t, 0, 0))
+        pl.BlockSpec(
+            (1, CR, LANES),
+            lambda g, t, S=stride, O=in_block_offset: (g * S + O + t, 0, 0),
+        )
     ]
     operands = [x_tiled]
     if with_init:

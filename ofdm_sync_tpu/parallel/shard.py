@@ -947,9 +947,17 @@ def sharded_minn_rtl_detect_fused_tm(
         hist_init = tail_f32.transpose(1, 0, 3, 2).reshape(C, B_loc, W)
         return hist_init, carry_init, gate_init
 
-    def run_kernel(blk_part, n_blocks, base, B_loc, init):
+    def run_kernel(blk_part, n_blocks, base, B_loc, init, *,
+                   stride=None, offset=0):
+        # stride/offset run the kernel on a per-group block SUBRANGE of an
+        # unsliced buffer via the pallas index_map: a `blk[:, 1:]` slice
+        # would materialize a copy of the whole stream buffer before the
+        # kernel (measured 1.77x mesh(1,1) overhead for the overlap split
+        # vs 1.008x serialized -- the kernel runs at the HBM floor, so +2x
+        # traffic halves it)
+        n_groups = blk_part.shape[0]
         return minn_rtl_detect_fused_tm(
-            blk_part.reshape(blk_part.shape[0] * n_blocks, CR, LANES),
+            blk_part.reshape(n_groups * (stride or n_blocks), CR, LANES),
             quarter_len=Q, smooth_shift=smooth_shift,
             threshold_value=threshold_value,
             threshold_frac_bits=threshold_frac_bits,
@@ -959,6 +967,7 @@ def sharded_minn_rtl_detect_fused_tm(
             rows=R, interpret=interpret,
             base_index=base, stream_len_global=L,
             shard_init=init,
+            in_block_stride=stride, in_block_offset=offset,
         )
 
     def shard_fn(blk):
@@ -987,13 +996,15 @@ def sharded_minn_rtl_detect_fused_tm(
             # transfer hides behind this ((NT_loc-1)/NT_loc of the work)
             tail0 = blk[:, 0].reshape(G_loc, C, R, LANES)[:, :, R - W :]
             tab_rest = run_kernel(
-                blk[:, 1:], NT_loc - 1, shard_start + R, B_loc,
+                blk, NT_loc - 1, shard_start + R, B_loc,
                 prime_from_tail(tail0.astype(jnp.float32), shard_start + R),
+                stride=NT_loc, offset=1,
             )
             # first block: the only consumer of the remote halo
             tab_0 = run_kernel(
-                blk[:, :1], 1, shard_start, B_loc,
+                blk, 1, shard_start, B_loc,
                 prime_from_tail(halo, shard_start),
+                stride=NT_loc, offset=0,
             )
             # stitch the local pair with the seam rule (no collective)
             stk = lambda a, b: jnp.stack([a, b])  # noqa: E731
