@@ -199,7 +199,11 @@ def _block_latency_p50(n_chunks: int = 120, chunk: int = 4096):
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        K1, K2 = 64, 320
+        # wide K spread: at ~3-7us/chunk the marginal signal must clear the
+        # tunnel's ~1ms RTT jitter (256 extra iters ~ 0.9ms was INSIDE the
+        # noise -- r03's 3.5us and r04's 8.0us were draws from that
+        # estimator; 1024 extra iters ~ 4-7ms is ~5x the jitter)
+        K1, K2 = 128, 1152
         onchip_us = max(
             (scan_wall(K2) - scan_wall(K1)) / (K2 - K1) * 1e6, 0.0
         )
