@@ -213,12 +213,24 @@ def minn_rtl_stream_step(
     for c in range(1, E + 1):
         m = in_gate & (cluster_id == c)
         bstart = jnp.min(jnp.where(m, gi, jnp.int32(_I32_MAX)))
-        bpv = jnp.max(jnp.where(m, track, neg_inf))
-        is_peak = m & (track == bpv)
+        # argmax-based selection (NOT `track == max(track)`: XLA may
+        # duplicate `track`'s computation across fusions with different
+        # FMA contraction, and the bitwise equality then never holds --
+        # see ops/detect.py extract_gate_events)
+        masked = jnp.where(m, track, neg_inf)
+        nloc = masked.shape[-1]
         if tie_last:
-            bidx = jnp.max(jnp.where(is_peak, gi, jnp.int32(-1)))
+            ji = jnp.int32(nloc - 1) - jnp.argmax(
+                masked[::-1]
+            ).astype(jnp.int32)
         else:
-            bidx = jnp.min(jnp.where(is_peak, gi, jnp.int32(_I32_MAX)))
+            ji = jnp.argmax(masked).astype(jnp.int32)
+        bpv = masked[ji]
+        any_m = jnp.any(m)
+        if tie_last:
+            bidx = jnp.where(any_m, gi[ji], jnp.int32(-1))
+        else:
+            bidx = jnp.where(any_m, gi[ji], jnp.int32(_I32_MAX))
         blast = jnp.max(jnp.where(above & (cluster_id == c), gi, jnp.int32(-1)))
         sel = slots == (c - 1)
         ev_start = jnp.where(sel, jnp.minimum(ev_start, bstart), ev_start)

@@ -126,13 +126,23 @@ def extract_gate_events(
     for c in range(1, max_events + 1):
         m = in_gate & (cluster_id == c)
         gate_start_l.append(jnp.min(jnp.where(m, idx, jnp.int32(_I32_MAX))))
-        pv = jnp.max(jnp.where(m, track, neg_inf))
-        peak_val_l.append(pv)
-        is_peak = m & (track == pv)
+        # single argmax-style selection: deriving the index from
+        # `track == max(track)` is UNSOUND under XLA -- the compiler may
+        # duplicate the computation of `track` into two fusions with
+        # different FMA contraction, making the equality fail bitwise for
+        # every element (observed at --xla_backend_optimization_level=0:
+        # a gate with a finite peak_value and a sentinel peak_idx)
+        masked = jnp.where(m, track, neg_inf)
         if tie == "last":
-            peak_idx_l.append(jnp.max(jnp.where(is_peak, idx, jnp.int32(-1))))
+            pi = jnp.int32(n - 1) - jnp.argmax(masked[::-1]).astype(jnp.int32)
         else:
-            peak_idx_l.append(jnp.min(jnp.where(is_peak, idx, jnp.int32(_I32_MAX))))
+            pi = jnp.argmax(masked).astype(jnp.int32)
+        peak_val_l.append(masked[pi])
+        any_m = jnp.any(m)
+        if tie == "last":
+            peak_idx_l.append(jnp.where(any_m, pi, jnp.int32(-1)))
+        else:
+            peak_idx_l.append(jnp.where(any_m, pi, jnp.int32(_I32_MAX)))
         last_above_l.append(
             jnp.max(jnp.where(above & (cluster_id == c), idx, jnp.int32(-1)))
         )

@@ -506,7 +506,7 @@ def _cross_shard_event_merge(
     # Per-slot local reductions are stacked to (..., E) so each quantity
     # needs ONE batched collective over the shard axis, not E tiny
     # latency-bound ones (3 rounds: extents/values -> peak index -> extras).
-    ms, starts, lasts, lpvs = [], [], [], []
+    ms, starts, lasts, lpvs, lidx_local = [], [], [], [], []
     for c in range(1, E + 1):
         m = in_gate & (cluster_id == c)
         ms.append(m)
@@ -519,22 +519,41 @@ def _cross_shard_event_merge(
                 axis=-1,
             )
         )
-        lpvs.append(jnp.max(jnp.where(m, track, NEG_INF), axis=-1))
+        # per-slot local (value, index) via ONE argmax-based selection:
+        # `track == max(track)` is unsound under XLA (the compiler may
+        # duplicate `track` into fusions with different FMA contraction,
+        # failing the bitwise equality -- see ops/detect.py); the gathered
+        # value is the single source of truth for the cross-shard compare
+        masked = jnp.where(m, track, NEG_INF)
+        nloc = masked.shape[-1]
+        if tie_last:
+            ji = jnp.int32(nloc - 1) - jnp.argmax(
+                masked[..., ::-1], axis=-1
+            ).astype(jnp.int32)
+        else:
+            ji = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        pv = jnp.take_along_axis(masked, ji[..., None], axis=-1)[..., 0]
+        gidx = jnp.take_along_axis(
+            jnp.broadcast_to(gi_b, masked.shape), ji[..., None], axis=-1
+        )[..., 0].astype(jnp.int32)
+        lpvs.append(pv)
+        lidx_local.append((jnp.any(m, axis=-1), gidx))
     gate_start = jax.lax.pmin(jnp.stack(starts, axis=-1), axis_name)
     last_seg = jax.lax.pmax(jnp.stack(lasts, axis=-1), axis_name)
-    peak_val = jax.lax.pmax(jnp.stack(lpvs, axis=-1), axis_name)
+    lpv = jnp.stack(lpvs, axis=-1)
+    peak_val = jax.lax.pmax(lpv, axis_name)
 
+    # the winning shard identifies itself by comparing its MATERIALIZED
+    # local best against the collective max (values cross the collective
+    # verbatim, so this equality is exact)
     lidxs = []
     for c in range(1, E + 1):
-        is_peak = ms[c - 1] & (track == peak_val[..., c - 1 : c])
+        any_m, gidx = lidx_local[c - 1]
+        winner = any_m & (lpv[..., c - 1] == peak_val[..., c - 1])
         if tie_last:
-            lidxs.append(
-                jnp.max(jnp.where(is_peak, gi_b, jnp.int32(-1)), axis=-1)
-            )
+            lidxs.append(jnp.where(winner, gidx, jnp.int32(-1)))
         else:
-            lidxs.append(
-                jnp.min(jnp.where(is_peak, gi_b, jnp.int32(I32_MAX)), axis=-1)
-            )
+            lidxs.append(jnp.where(winner, gidx, jnp.int32(I32_MAX)))
     stacked = jnp.stack(lidxs, axis=-1)
     if tie_last:
         peak_idx = jax.lax.pmax(stacked, axis_name)

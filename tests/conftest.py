@@ -14,9 +14,14 @@ _USE_TPU = os.environ.get("OFDM_SYNC_TEST_TPU", "0") == "1"
 if not _USE_TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # the quick gate is XLA-CPU-COMPILE-bound (interpret-mode Pallas graphs
+    # compile in seconds and execute in ~0.1 s); optimization level 0 cuts
+    # the compile ~36% and only slows the trivial execution.  Both sides of
+    # every equality assertion run under the same flags.
+    if "xla_backend_optimization_level" not in flags:
+        flags += " --xla_backend_optimization_level=0"
+    os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -329,12 +329,17 @@ def test_sharded_zc_detect_mxu_mf_matches_xla(rng):
         pytest.skip("needs 8 virtual devices")
     from ofdm_sync_tpu.ops.waveforms import build_pss_symbol
     from ofdm_sync_tpu.parallel.shard import sharded_zc_detect
-    from ofdm_sync_tpu.params import SYS_30M72
+    from ofdm_sync_tpu.params import SystemParams
 
-    ref = build_pss_symbol(SYS_30M72)  # 2048 samples
+    # small system (the quick gate is compile-bound; geometry, not the
+    # template length, is what this test pins -- the production 2048-sample
+    # PSS shape runs on the chip in conformance.onchip.check_mf_mxu)
+    ref = build_pss_symbol(
+        SystemParams(n_fft=256, num_active=144, cp_len=64)
+    )  # 256 samples
     R = ref.shape[-1]
-    W = 1024
-    L_sig, batch = 16384, 2
+    W = 256
+    L_sig, batch = 6144, 2
     rx = np.zeros((batch, 2, L_sig), complex)
     for b in range(batch):
         pos = L_sig // 4 - R // 2 + 128 * b
@@ -345,12 +350,23 @@ def test_sharded_zc_detect_mxu_mf_matches_xla(rng):
 
     kw = dict(corr_window=W, min_corr_mag=0.1, hysteresis=64, max_events=8)
     mesh = make_stream_mesh(n_data=2, n_seq=4)
-    t_x = sharded_zc_detect(
-        jnp.asarray(rx), mesh, reference=ref, mf_mode="xla", **kw
-    )
     t_m = sharded_zc_detect(
         jnp.asarray(rx), mesh, reference=ref, mf_mode="mxu", **kw
     )
+    # golden: the UNSHARDED fused CFAR kernel on the normalized magnitudes
+    # (one shard_map compile instead of two -- the quick gate is
+    # compile-bound; sharded-xla == this same golden is pinned by
+    # test_sharded_zc_detect_from_iq)
+    from ofdm_sync_tpu.kernels.pallas_zc import zc_cfar_detect_pallas
+    from ofdm_sync_tpu.ops.metrics import zc_normalized_correlation_per_branch
+
+    mags = np.stack([
+        np.abs(np.asarray(
+            zc_normalized_correlation_per_branch(jnp.asarray(rx[b]), ref)
+        ))[:L_sig]
+        for b in range(batch)
+    ]).astype(np.float32)
+    t_x = zc_cfar_detect_pallas(jnp.asarray(mags), **kw, block=2048)
     for b in range(batch):
         k = int(t_x.count[b])
         assert int(t_m.count[b]) == k and k >= 1, (b, k)

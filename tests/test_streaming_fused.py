@@ -333,7 +333,13 @@ def test_fused_stream_data_parallel(rng):
         hist=P(None, "data", None), carry=P("data"), gate=P("data", None),
         base=P(),
     )
-    tb_spec = jax.tree.map(lambda _: P("data"), _run_chunked(x)[1][0])
+    # structure-only: one step (same graph the loop below compiles anyway)
+    tb_spec = jax.tree.map(
+        lambda _: P("data"),
+        minn_rtl_fused_stream_step(
+            state0, x[..., :CHUNK], params=PARAMS
+        )[1],
+    )
     sharded_step = shard_map(
         step, mesh=mesh,
         in_specs=(st_spec, P(None, "data", None)),
