@@ -22,11 +22,27 @@ if not _USE_TPU:
     if "xla_backend_optimization_level" not in flags:
         flags += " --xla_backend_optimization_level=0"
     os.environ["XLA_FLAGS"] = flags
+    # persistent XLA compile cache: the gate is compile-bound, and the CPU
+    # executables serialize compactly (~100 KB/program).  The warm cache is
+    # COMMITTED (tests/.jax_cache) so the quick gate runs warm out of the
+    # box on this image; a key miss (different XLA build/CPU) just
+    # recompiles -- correctness never depends on the cache.  Cold gate
+    # ~480 s, warm ~measured in PARITY.md.
+    # (set below via jax.config -- sitecustomize imports jax before this
+    # file runs, so the env vars alone are ignored)
 
 import jax  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(__file__), ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
