@@ -1974,3 +1974,60 @@ def sharded_extract_frames_tm(
             frames[:batch], starts[:batch], valid[:batch]
         )
     return frames, starts, valid
+
+
+def sharded_minn_rtl_receive_tm(
+    x_tiled: jax.Array,
+    mesh: Mesh,
+    *,
+    quarter_len: int,
+    smooth_shift: int,
+    threshold_value: int,
+    threshold_frac_bits: int,
+    hysteresis: int,
+    stream_len: int,
+    frame_len: int,
+    rows: int = 8192,
+    channels: int = 4,
+    batch: int | None = None,
+    max_events: int = 8,
+    timing_offset: int = 0,
+    max_frames: int = 4,
+    overlap_halo: bool | None = None,
+    interpret: bool | None = None,
+):
+    """The FULL flagship receive chain, multi-chip: sharded time-major
+    fused detection (`sharded_minn_rtl_detect_fused_tm`, the shipping
+    halo-overlap schedule) + sharded device-side aligned frame re-emission
+    (`sharded_extract_frames_tm`) -- detect AND re-emit without ever
+    materializing the stream on one chip.  Frame windows open at
+    ``peak_idx + timing_offset`` and may span seq-shard seams (each shard
+    contributes its samples; one psum assembles the window).
+
+    The single-chip counterpart is
+    `models.detectors.MinnRTLDetector.detect_fused_frames`, which opens
+    windows at ``peak + params.timing_offset - 6*quarter_len`` (the RTL
+    peak sits at s0 + 6Q -- reference minn_rtl.py:93-103, 943-953; output
+    contract ref/minn_preamble_detector.sv:103-180, 445-530); pass that
+    same value as `timing_offset` here.
+
+    Returns ``(table, frames, starts, valid)`` -- the merged GateEvents
+    plus frames ``(batch, max_frames, C, frame_len)`` float32, equal to
+    the unsharded chain (tests assert).
+    """
+    table = sharded_minn_rtl_detect_fused_tm(
+        x_tiled, mesh,
+        quarter_len=quarter_len, smooth_shift=smooth_shift,
+        threshold_value=threshold_value,
+        threshold_frac_bits=threshold_frac_bits,
+        hysteresis=hysteresis, stream_len=stream_len, rows=rows,
+        channels=channels, batch=batch, max_events=max_events,
+        overlap_halo=overlap_halo, interpret=interpret,
+    )
+    frames, starts, valid = sharded_extract_frames_tm(
+        x_tiled, table, mesh,
+        frame_len=frame_len, stream_len=stream_len, channels=channels,
+        rows=rows, batch=batch, timing_offset=timing_offset,
+        max_frames=max_frames,
+    )
+    return table, frames, starts, valid
