@@ -611,13 +611,59 @@ def _secondary_kernels(batch: int, stream_len: int) -> None:
             oute2 = fee(xe)
         int(np.asarray(oute2).sum())
         zc_e2e_sps = mf_batch * stream_len * 3 / (time.perf_counter() - t0)
+        del xe
+
+        # zc_freq sliding-DFT metric (round-4 VERDICT item 7: surface the
+        # remaining family numbers in the artifact, not prose).  62 template
+        # bins; each offset is a full 2048-pt spectrum probe, so the honest
+        # unit is offsets/s.  Template/bins stay HOST numpy: a complex64
+        # DEVICE array captured as a jit constant needs a device->host fetch
+        # at lowering, which the axon tunnel rejects (UNIMPLEMENTED,
+        # measured 2026-08-20).
+        from ofdm_sync_tpu.ops.metrics import zc_freq_metric_sliding
+        from ofdm_sync_tpu.ops.waveforms import (
+            centered_subcarrier_indices, generate_zadoff_chu,
+        )
+
+        n_off = 1 << 15
+        zf_L = 2048 + 512 + n_off - 1
+        xf = jax.jit(
+            lambda k: (lambda v: v[0] + 1j * v[1])(
+                jax.random.normal(k, (2, BRANCHES, zf_L), jnp.float32)
+            )
+        )(jax.random.key(7))
+        xf.block_until_ready()
+        tmplb = np.asarray(generate_zadoff_chu(25, 62), np.complex64)
+        bins = centered_subcarrier_indices(62)
+        fzf = jax.jit(
+            lambda v: zc_freq_metric_sliding(
+                v, tmplb, bins, n_fft=2048, cp_len=512
+            )
+        )
+        float(np.asarray(fzf(xf)).max())
+        t0 = time.perf_counter()
+        for _ in range(3):
+            outf = fzf(xf)
+        float(np.asarray(outf).max())
+        zf_ops = n_off * 3 / (time.perf_counter() - t0)
         print(
             f"bench secondary: aa_fused={aa_sps / 1e6:.0f}M samples/s "
             f"zc_cfar={zc_sps / 1e6:.0f}M samples/s "
             f"zc_iq_tm={zc_iq_sps / 1e6:.0f}M samples/s "
             f"zc_mf_ols={zc_mf_sps / 1e6:.0f}M samples/s "
             f"zc_mf_mxu={zc_mxu_sps / 1e6:.0f}M samples/s "
-            f"zc_e2e_iq_mxu={zc_e2e_sps / 1e6:.0f}M samples/s",
+            f"zc_e2e_iq_mxu={zc_e2e_sps / 1e6:.0f}M samples/s "
+            f"zc_freq_sliding={zf_ops / 1e6:.1f}M offsets/s",
+            file=sys.stderr,
+        )
+        print(
+            "bench family map: D3 minn_rtl=headline; D9 aa=aa_fused; "
+            "D7 zc_v2=zc_cfar+zc_iq_tm; D5 zc_mf=zc_mf_{ols,mxu}+zc_e2e; "
+            "D6 zc_freq=zc_freq_sliding; D4 park EXEMPT: compile-dominated "
+            "(multi-size FFT ladder, 403 s one-time tunnel compile measured "
+            "2026-08-20; ~22M samples/s/stream once warm -- design.md s8); "
+            "D1 sc / D2 minn / D8 combined share the sliding-sum metric "
+            "layer the headline kernel bounds (no separate kernel)",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover
